@@ -1,0 +1,160 @@
+"""Merlin transcript (STROBE-128 over Keccak-f[1600]), bit-exact.
+
+The reference drives all Fiat-Shamir sampling through gtank/merlin
+(reference: core/transcript.go:10-63). Challenges must match byte-for-byte
+for proofs to agree, so this is a faithful reimplementation of the merlin
+construction: STROBE-128 with rate 166, protocol label "Merlin v1.0",
+``append_message`` = meta-AD(label) + meta-AD(LE32 len, more) + AD(data),
+``challenge_bytes`` = meta-AD(label) + meta-AD(LE32 len, more) + PRF.
+
+Verified against merlin's published conformance vector (see
+tests/test_transcript.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .keccak import keccak_f1600
+
+_STROBE_R = 166
+
+_FLAG_I = 1
+_FLAG_A = 1 << 1
+_FLAG_C = 1 << 2
+_FLAG_T = 1 << 3
+_FLAG_M = 1 << 4
+
+
+class Strobe128:
+    """The subset of STROBE-128 used by merlin: meta-AD, AD, PRF, KEY."""
+
+    def __init__(self, protocol_label: bytes):
+        st = bytearray(200)
+        st[0:6] = bytes([1, _STROBE_R + 2, 1, 0, 1, 96])
+        st[6:18] = b"STROBEv1.0.2"
+        keccak_f1600(st)
+        self.state = st
+        self.pos = 0
+        self.pos_begin = 0
+        self.cur_flags = 0
+        self.meta_ad(protocol_label, False)
+
+    # -- internals ---------------------------------------------------------
+
+    def _run_f(self) -> None:
+        self.state[self.pos] ^= self.pos_begin
+        self.state[self.pos + 1] ^= 0x04
+        self.state[_STROBE_R + 1] ^= 0x80
+        keccak_f1600(self.state)
+        self.pos = 0
+        self.pos_begin = 0
+
+    def _absorb(self, data: bytes) -> None:
+        for byte in data:
+            self.state[self.pos] ^= byte
+            self.pos += 1
+            if self.pos == _STROBE_R:
+                self._run_f()
+
+    def _overwrite(self, data: bytes) -> None:
+        for byte in data:
+            self.state[self.pos] = byte
+            self.pos += 1
+            if self.pos == _STROBE_R:
+                self._run_f()
+
+    def _squeeze(self, n: int) -> bytes:
+        out = bytearray(n)
+        for i in range(n):
+            out[i] = self.state[self.pos]
+            self.state[self.pos] = 0
+            self.pos += 1
+            if self.pos == _STROBE_R:
+                self._run_f()
+        return bytes(out)
+
+    def _begin_op(self, flags: int, more: bool) -> None:
+        if more:
+            if flags != self.cur_flags:
+                raise ValueError("continuation flags mismatch")
+            return
+        if flags & _FLAG_T:
+            raise ValueError("transport flags unsupported")
+        old_begin = self.pos_begin
+        self.pos_begin = self.pos + 1
+        self.cur_flags = flags
+        self._absorb(bytes([old_begin, flags]))
+        force_f = bool(flags & (_FLAG_C | (1 << 5)))
+        if force_f and self.pos != 0:
+            self._run_f()
+
+    # -- public ops --------------------------------------------------------
+
+    def meta_ad(self, data: bytes, more: bool) -> None:
+        self._begin_op(_FLAG_M | _FLAG_A, more)
+        self._absorb(data)
+
+    def ad(self, data: bytes, more: bool) -> None:
+        self._begin_op(_FLAG_A, more)
+        self._absorb(data)
+
+    def prf(self, n: int, more: bool) -> bytes:
+        self._begin_op(_FLAG_I | _FLAG_A | _FLAG_C, more)
+        return self._squeeze(n)
+
+    def key(self, data: bytes, more: bool) -> None:
+        self._begin_op(_FLAG_A | _FLAG_C, more)
+        self._overwrite(data)
+
+
+class Transcript:
+    """Merlin transcript with the reference's field/uint helpers.
+
+    Mirrors core/transcript.go: Append{Bytes,Field,Fields}, Sample{Field,
+    Uint64,Fields,Uints}. Samples are raw little-endian u64 (NOT reduced
+    mod t - the reference relies on Barrett full reduction in each use).
+    """
+
+    MERLIN_PROTOCOL_LABEL = b"Merlin v1.0"
+
+    def __init__(self, name: str | bytes):
+        if isinstance(name, str):
+            name = name.encode()
+        self.strobe = Strobe128(self.MERLIN_PROTOCOL_LABEL)
+        self.append_message(b"dom-sep", name)
+
+    def append_message(self, label: bytes, message: bytes) -> None:
+        self.strobe.meta_ad(label, False)
+        self.strobe.meta_ad(struct.pack("<I", len(message)), True)
+        self.strobe.ad(message, False)
+
+    def challenge_bytes(self, label: bytes, n: int) -> bytes:
+        self.strobe.meta_ad(label, False)
+        self.strobe.meta_ad(struct.pack("<I", n), True)
+        return self.strobe.prf(n, False)
+
+    # -- reference-compatible helpers (core/transcript.go) -----------------
+
+    def append_bytes(self, label: str, data: bytes) -> None:
+        self.append_message(label.encode(), data)
+
+    def append_field(self, label: str, value: int) -> None:
+        self.append_message(label.encode(), struct.pack("<Q", value))
+
+    def append_fields(self, label: str, values) -> None:
+        for v in values:
+            self.append_field(label, int(v))
+
+    def sample_uint64(self, label: str) -> int:
+        return struct.unpack("<Q", self.challenge_bytes(label.encode(), 8))[0]
+
+    def sample_field(self, label: str) -> int:
+        # NOTE: like the reference, NOT reduced mod t.
+        return self.sample_uint64(label)
+
+    def sample_uints(self, label: str, n: int) -> list[int]:
+        return [self.sample_uint64(label) for _ in range(n)]
+
+    def sample_fields(self, label: str, n: int) -> list[int]:
+        return [self.sample_field(label) for _ in range(n)]

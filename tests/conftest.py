@@ -1,0 +1,22 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding tests run on a virtual CPU mesh
+(xla_force_host_platform_device_count=8); the driver separately dry-runs
+the multi-chip path, and bench.py runs on the real TPU chip.
+
+Must run before any jax import in the test process (conftest is imported
+first by pytest).
+"""
+
+import os
+
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
