@@ -6,6 +6,18 @@ emulates u64 in 32-bit lanes (verified supported on TPU v5e). Hot kernels
 graduate to explicit u32-pair Pallas kernels in ops/pallas_*.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: first compile of the big jitted programs is
+# expensive (remote TPU compile); subsequent runs hit this cache.
+_cache_dir = os.environ.get("LUMENOS_JAX_CACHE", "/tmp/lumenos_jax_cache")
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
