@@ -1,0 +1,293 @@
+"""BGV/BFV backend: keys, encryption, evaluator ops on ciphertext batches.
+
+Counterpart of the reference's ServerBFV/ClientBFV (fhe/bfv.go) and the
+lattigo APIs they wrap (SURVEY.md 2.3). Scheme: MSB / scale-invariant form
+phase = Delta*m + e (DESIGN.md section 2); ciphertext batches are u64
+tensors [n_cts, 2, L+1, N] in coefficient domain; all ops batched.
+
+Randomness is generated host-side (numpy Generator) and mapped to RNS
+residues on device; heavy polynomial arithmetic (NTT, dyadic muls) runs
+on the accelerator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import lru_cache
+
+import numpy as np
+
+from .. import jaxcfg  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from .params import BgvParams
+from .encoder import SlotEncoder
+from .ring import ntt_fwd, ntt_inv, barrett_mul, add_rns, sub_rns
+from ..ops.modmath import mul64wide, _u64
+
+SIGMA_ERR = 3.19  # discrete gaussian std-dev (lattigo default Xe)
+ERR_BOUND = 19
+
+
+@dataclass
+class CtBatch:
+    """Batch of RLWE ciphertexts: data [..., 2, L+1, N] (coeff domain)."""
+
+    data: jnp.ndarray
+    level: int
+    is_ntt: bool = False
+
+    @property
+    def n(self) -> int:
+        return self.data.shape[-1]
+
+
+jax.tree_util.register_dataclass(
+    CtBatch, data_fields=["data"], meta_fields=["level", "is_ntt"])
+
+
+@dataclass(frozen=True)
+class SecretKey:
+    s_signed: np.ndarray      # [N] int8 ternary coefficients (host, for vdec)
+    s_ntt: jnp.ndarray        # [L_all, N] NTT-domain residues over all Q+P limbs
+
+
+@dataclass(frozen=True)
+class PublicKey:
+    pk0_ntt: jnp.ndarray      # [L+1, N] NTT domain, max level
+    pk1_ntt: jnp.ndarray
+
+
+class BgvBackend:
+    """Evaluator + encryptor + decryptor over one parameter set."""
+
+    def __init__(self, params: BgvParams):
+        self.params = params
+        self.encoder = SlotEncoder(params)
+        self.n = params.n
+        self.t = params.t
+
+    # -- table helpers -----------------------------------------------------
+
+    def _consts(self, level: int, with_p: bool = False):
+        q, u, s = self.params.limb_consts(level, with_p)
+        return jnp.asarray(q), jnp.asarray(u), jnp.asarray(s)
+
+    def _ntt(self, x, level: int, with_p: bool = False):
+        fwd, fwds, *_ = self.params.ntt_tables(level, with_p)
+        q, _, _ = self.params.limb_consts(level, with_p)
+        return ntt_fwd(x, fwd, fwds, q)
+
+    def _intt(self, x, level: int, with_p: bool = False):
+        _, _, bwd, bwds, ninv, ninvs = self.params.ntt_tables(level, with_p)
+        q, _, _ = self.params.limb_consts(level, with_p)
+        return ntt_inv(x, bwd, bwds, ninv, ninvs, q)
+
+    def _signed_to_rns(self, x: np.ndarray, level: int, with_p: bool = False):
+        """[..., N] small signed ints -> [..., L, N] residues (device)."""
+        q, _, _ = self.params.limb_consts(level, with_p)
+        xj = jnp.asarray(x.astype(np.int64))[..., None, :]
+        qj = jnp.asarray(q.astype(np.int64))[:, None]
+        return ((xj % qj) + qj).astype(jnp.uint64) % qj.astype(jnp.uint64)
+
+    # -- key generation ----------------------------------------------------
+
+    def keygen(self, rng: np.random.Generator) -> tuple[SecretKey, PublicKey]:
+        p = self.params
+        n_all = len(p.q_primes) + len(p.p_primes)
+        s = rng.integers(-1, 2, self.n).astype(np.int8)
+        s_rns = self._signed_to_rns(s, len(p.q_primes) - 1, with_p=True)
+        s_ntt = self._ntt(s_rns, len(p.q_primes) - 1, with_p=True)
+
+        lvl = p.max_level
+        q, u, su = p.limb_consts(lvl)
+        a = np.stack([rng.integers(0, int(qi), self.n, dtype=np.uint64) for qi in q])
+        e = self._sample_err(rng, (self.n,))
+        a_ntt = jnp.asarray(a)
+        e_rns = self._signed_to_rns(e, lvl)
+        qj, uj, sj = self._consts(lvl)
+        a_s = barrett_mul(a_ntt, s_ntt[: lvl + 1], qj[:, None], uj[:, None], sj[:, None])
+        e_ntt = self._ntt(e_rns, lvl)
+        pk0 = sub_rns(jnp.zeros_like(a_s), add_rns(a_s, e_ntt, qj[:, None]), qj[:, None])
+        return SecretKey(s_signed=s, s_ntt=s_ntt), PublicKey(pk0_ntt=pk0, pk1_ntt=a_ntt)
+
+    def _sample_err(self, rng: np.random.Generator, shape) -> np.ndarray:
+        e = np.rint(rng.normal(0.0, SIGMA_ERR, shape)).astype(np.int64)
+        return np.clip(e, -ERR_BOUND, ERR_BOUND)
+
+    # -- encryption --------------------------------------------------------
+
+    def encrypt_polys(self, delta_m, pk: PublicKey, rng: np.random.Generator) -> CtBatch:
+        """delta_m: [n, L+1, N] RNS embedding of Delta*m (coeff domain)."""
+        lvl = self.params.max_level
+        n_ct = delta_m.shape[0]
+        u = rng.integers(-1, 2, (n_ct, self.n)).astype(np.int8)
+        e0 = self._sample_err(rng, (n_ct, self.n))
+        e1 = self._sample_err(rng, (n_ct, self.n))
+        qj, uj, sj = self._consts(lvl)
+        q2 = qj[:, None]
+        u_ntt = self._ntt(self._signed_to_rns(u, lvl), lvl)
+        c0 = self._intt(barrett_mul(u_ntt, pk.pk0_ntt, q2, uj[:, None], sj[:, None]), lvl)
+        c1 = self._intt(barrett_mul(u_ntt, pk.pk1_ntt, q2, uj[:, None], sj[:, None]), lvl)
+        c0 = add_rns(c0, self._signed_to_rns(e0, lvl), q2)
+        c0 = add_rns(c0, jnp.asarray(delta_m, jnp.uint64), q2)
+        c1 = add_rns(c1, self._signed_to_rns(e1, lvl), q2)
+        return CtBatch(data=jnp.stack([c0, c1], axis=1), level=lvl)
+
+    def encrypt_values(self, values, pk: PublicKey, rng: np.random.Generator) -> CtBatch:
+        """values [n, k<=N] slot vectors -> fresh ciphertext batch."""
+        poly_t = self.encoder.encode(values)
+        dm = self.encoder.embed_delta_m(poly_t, self.params.max_level)
+        return self.encrypt_polys(dm, pk, rng)
+
+    # -- decryption --------------------------------------------------------
+
+    @lru_cache(maxsize=None)
+    def _decrypt_consts(self, level: int):
+        """HPS scale-and-round constants: omega_i mod t, theta_i as 2^64 fixed."""
+        p = self.params
+        qs = [int(q) for q in p.q_primes[: level + 1]]
+        Q = 1
+        for q in qs:
+            Q *= q
+        omegas, thetas = [], []
+        for qi in qs:
+            lam = pow(Q // qi, qi - 2, qi)     # [(Q/q_i)^{-1}]_{q_i}
+            num = p.t * lam
+            omegas.append((num // qi) % p.t)
+            thetas.append(((num % qi) << 64) // qi)
+        return (np.array(omegas, dtype=np.uint64),
+                np.array(thetas, dtype=np.uint64))
+
+    def phase(self, ct: CtBatch, sk: SecretKey):
+        """c0 + c1*s mod Q: [..., L+1, N] coeff-domain residues."""
+        lvl = ct.level
+        qj, uj, sj = self._consts(lvl)
+        q2 = qj[:, None]
+        c0 = ct.data[..., 0, :, :]
+        c1 = ct.data[..., 1, :, :]
+        c1_ntt = self._ntt(c1, lvl)
+        prod = barrett_mul(c1_ntt, sk.s_ntt[: lvl + 1], q2, uj[:, None], sj[:, None])
+        return add_rns(c0, self._intt(prod, lvl), q2)
+
+    def phase_to_mt(self, x, level: int):
+        """round(t * x / Q) mod t for RNS phase x [..., L+1, N] -> [..., N]."""
+        omegas, thetas = self._decrypt_consts(level)
+        tl = self.params.t_limb
+        t_arr = _u64(tl.q)
+        tu = _u64(tl.barrett_u)
+        ts = _u64(tl.barrett_s)
+        om = jnp.asarray(omegas)[:, None]
+        xi_t = x % t_arr
+        ipart = barrett_mul(xi_t, om, t_arr, tu, ts)
+        int_sum = ipart.astype(jnp.uint64)
+        # fractional accumulation in 128-bit fixed point
+        th = jnp.asarray(thetas)[:, None]
+        fhi, flo = mul64wide(x, th)
+        lo_sum = jnp.sum(flo, axis=-2)
+        hi_sum = jnp.sum(fhi, axis=-2)
+        # count carries from lo additions: compare cumulative? cheaper: use
+        # 32-bit split accumulation to make carries exact.
+        lo_lo = jnp.sum(flo & _u64(0xFFFFFFFF), axis=-2)
+        lo_hi = jnp.sum(flo >> _u64(32), axis=-2)
+        total_lo = lo_lo + ((lo_hi & _u64(0xFFFFFFFF)) << _u64(32))
+        carry = (lo_hi >> _u64(32)) + jnp.where(total_lo < lo_lo, _u64(1), _u64(0))
+        frac_round = hi_sum + carry + jnp.where(
+            (total_lo + _u64(1 << 63)) < total_lo, _u64(1), _u64(0))
+        # sum integer parts mod t (L+1 terms each < t: chunked sum safe for L<=32)
+        isum = jnp.sum(int_sum, axis=-2) % t_arr
+        m = (isum + frac_round % t_arr) % t_arr
+        return m
+
+    def decrypt_poly_t(self, ct: CtBatch, sk: SecretKey):
+        """-> [..., N] plaintext polynomial coefficients mod t."""
+        return self.phase_to_mt(self.phase(ct, sk), ct.level)
+
+    def decrypt_values(self, ct: CtBatch, sk: SecretKey, k: int | None = None):
+        """-> [..., k] slot values (scale handling is the caller's job)."""
+        return self.encoder.decode(self.decrypt_poly_t(ct, sk), k)
+
+    def decrypt_c0(self, ct: CtBatch, sk: SecretKey):
+        """Constant coefficient of the plaintext poly (sum-slots trick).
+        Returns [...] values: m_poly[0] mod t."""
+        return self.decrypt_poly_t(ct, sk)[..., 0]
+
+    # -- evaluator ops -----------------------------------------------------
+
+    def add(self, a: CtBatch, b: CtBatch) -> CtBatch:
+        assert a.level == b.level and a.is_ntt == b.is_ntt
+        qj, _, _ = self._consts(a.level)
+        return replace(a, data=add_rns(a.data, b.data, qj[:, None]))
+
+    def sub(self, a: CtBatch, b: CtBatch) -> CtBatch:
+        assert a.level == b.level and a.is_ntt == b.is_ntt
+        qj, _, _ = self._consts(a.level)
+        return replace(a, data=sub_rns(a.data, b.data, qj[:, None]))
+
+    def mul_scalar(self, ct: CtBatch, w: int) -> CtBatch:
+        """ct * uint64 scalar (plaintext multiplied by w mod t). Domain-agnostic."""
+        q, u, s = self.params.limb_consts(ct.level)
+        w_res = np.array([int(w) % int(qi) for qi in q], dtype=np.uint64)
+        qj, uj, sj = self._consts(ct.level)
+        out = barrett_mul(ct.data, jnp.asarray(w_res)[:, None],
+                          qj[:, None], uj[:, None], sj[:, None])
+        return replace(ct, data=out)
+
+    def mul_coeffs(self, ct: CtBatch, coeffs) -> CtBatch:
+        """Per-ciphertext small-constant multiply: coeffs [n_cts, L+1] residues
+        (broadcast over components and coefficients). Used by the
+        scale-deferred NTT's equalization cofactors."""
+        qj, uj, sj = self._consts(ct.level)
+        c = jnp.asarray(coeffs, jnp.uint64)[..., None, :, None]  # [n,1,L+1,1]
+        out = barrett_mul(ct.data, c, qj[:, None], uj[:, None], sj[:, None])
+        return replace(ct, data=out)
+
+    def mul_plain_ntt(self, ct: CtBatch, pt_ntt) -> CtBatch:
+        """ct x plaintext, pt_ntt: [L+1, N] or [n, L+1, N] NTT-domain residues."""
+        assert not ct.is_ntt
+        lvl = ct.level
+        qj, uj, sj = self._consts(lvl)
+        q2 = qj[:, None]
+        d_ntt = self._ntt(ct.data, lvl)
+        pt = jnp.asarray(pt_ntt, jnp.uint64)
+        if pt.ndim == 2:
+            pt = pt[None, None]
+        else:
+            pt = pt[:, None]
+        prod = barrett_mul(d_ntt, pt, q2, uj[:, None], sj[:, None])
+        return replace(ct, data=self._intt(prod, lvl))
+
+    # -- rescale (rounded division by the top prime) -----------------------
+
+    @lru_cache(maxsize=None)
+    def _rescale_consts(self, level: int):
+        p = self.params
+        ql = int(p.q_primes[level])
+        rem = [int(q) for q in p.q_primes[:level]]
+        ql_inv = np.array([pow(ql, qi - 2, qi) for qi in rem], dtype=np.uint64)
+        return ql, ql_inv
+
+    def rescale(self, ct: CtBatch) -> CtBatch:
+        """Drop the top limb: c' = round(c / q_l); plaintext scale Delta
+        adjusts automatically (MSB form)."""
+        assert not ct.is_ntt and ct.level >= 1
+        lvl = ct.level
+        ql, ql_inv = self._rescale_consts(lvl)
+        qlj = _u64(ql)
+        half = _u64(ql // 2)
+        cl = ct.data[..., lvl:lvl + 1, :]     # [..., 1, N]
+        is_neg = cl > half
+        mag = jnp.where(is_neg, qlj - cl, cl)
+        qj, uj, sj = self._consts(lvl - 1)
+        q2 = qj[:, None]
+        mag_mod = mag % q2                     # mag < 2^58, exact remainder
+        r = jnp.where(is_neg, (q2 - mag_mod) % q2, mag_mod)
+        diff = sub_rns(ct.data[..., :lvl, :], r, q2)
+        out = barrett_mul(diff, jnp.asarray(ql_inv)[:, None], q2, uj[:, None], sj[:, None])
+        return CtBatch(data=out, level=lvl - 1, is_ntt=False)
+
+    def rescale_to(self, ct: CtBatch, target_level: int) -> CtBatch:
+        while ct.level > target_level:
+            ct = self.rescale(ct)
+        return ct
