@@ -1,0 +1,79 @@
+"""End-to-end homomorphic Ligero PPD test (mirrors reference TestLigeroE2E).
+
+Full flow on small parameters: encrypt witness columns -> homomorphic
+commit/prove -> serialize/deserialize -> client decrypt -> public verify ->
+differential equality of MatR/MatZ with the plaintext reference prover.
+"""
+
+import numpy as np
+import pytest
+
+from lumenos_tpu.core.chacha import random_matrix_row_major
+from lumenos_tpu.core.field import PrimeField, GOLDILOCKS_57
+from lumenos_tpu.core.ligero_plain import (
+    LigeroCommitter, evaluate_matrix_poly, ligero_prove_reference, verify,
+)
+from lumenos_tpu.core.transcript import Transcript
+from lumenos_tpu.fhe.backend import BgvBackend, CtBatch
+from lumenos_tpu.fhe.ligero import EncryptedProof, commit, decrypt_proof, prove
+from lumenos_tpu.fhe.params import generate_bgv_params_for_ntt
+
+T = GOLDILOCKS_57
+ROWS, COLS, RHO = 32, 16, 2
+LOG_N = 5          # N = 32 slots >= ROWS
+POINT = 7
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = generate_bgv_params_for_ntt(COLS, LOG_N, T)
+    backend = BgvBackend(params)
+    rng = np.random.default_rng(99)
+    sk, pk = backend.keygen(rng)
+    field = PrimeField(T, COLS * RHO)
+    matrix = random_matrix_row_major(ROWS, COLS, T)
+    committer = LigeroCommitter(128, ROWS, COLS, RHO)
+    # encrypt columns (slot-batched, column-major like the reference)
+    ct = backend.encrypt_values(np.ascontiguousarray(matrix.T), pk, rng)
+    prover = commit(committer, backend, ct, pk, rng, field)
+    eproof = prove(prover, POINT, Transcript("test"))
+    return backend, sk, field, matrix, committer, eproof
+
+
+def test_e2e_serialize_decrypt_verify(setup):
+    backend, sk, field, matrix, committer, eproof = setup
+    # wire roundtrip
+    blob = eproof.to_bytes()
+    eproof2 = EncryptedProof.from_bytes(blob)
+    assert eproof2.meta == eproof.meta
+    assert eproof2.root == eproof.root
+    assert np.array_equal(np.asarray(eproof2.mat_r.data), np.asarray(eproof.mat_r.data))
+
+    proof = decrypt_proof(eproof2, backend, sk)
+    value = evaluate_matrix_poly(matrix, POINT, field)
+    verify(proof, POINT, value, field, Transcript("test"))
+
+
+def test_matr_matz_match_plaintext_reference(setup):
+    backend, sk, field, matrix, committer, eproof = setup
+    proof = decrypt_proof(eproof, backend, sk)
+    ref = ligero_prove_reference(committer, matrix, POINT, field, Transcript("test"))
+    assert np.array_equal(proof.mat_r, ref.mat_r)
+    assert np.array_equal(proof.mat_z, ref.mat_z)
+
+
+def test_queried_columns_match_plaintext_encoding(setup):
+    backend, sk, field, matrix, committer, eproof = setup
+    proof = decrypt_proof(eproof, backend, sk)
+    ref = ligero_prove_reference(committer, matrix, POINT, field, Transcript("test"))
+    # same transcript -> same query indices -> same decrypted column values
+    for ours, theirs in zip(proof.queried_cols, ref.queried_cols):
+        assert np.array_equal(ours.values, theirs.values)
+
+
+def test_verify_rejects_wrong_value(setup):
+    backend, sk, field, matrix, committer, eproof = setup
+    proof = decrypt_proof(eproof, backend, sk)
+    value = evaluate_matrix_poly(matrix, POINT, field)
+    with pytest.raises(ValueError):
+        verify(proof, POINT, (value + 1) % T, field, Transcript("test"))
