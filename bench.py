@@ -1,0 +1,118 @@
+"""Benchmark: homomorphic Ligero server prove on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = reference_seconds / our_seconds (speedup; >1 means faster
+than the reference's 32-vCPU m7i.8xlarge numbers, BASELINE.md).
+
+Config via env: LUMENOS_BENCH_ROWS/COLS/LOGN (default 2048x1024 @ LogN=12,
+the reference's first benchmark column). The full prove-eval wall time
+(encode + Merkle + inner products + query) is measured after a warmup run
+(jit compile cached persistently; see lumenos_tpu/jaxcfg.py).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# reference numbers (BASELINE.md): rows x cols -> (prove_eval_total_s,
+# commit_encode_s, merkle_s) on m7i.8xlarge, 32 vCPU
+REFERENCE = {
+    (2048, 1024): {"prove_total": 9.61 + 5.17 + 1.03, "logn": 12},
+    (4096, 2048): {"prove_total": 24.17 + 12.63 + 2.04, "logn": 12},
+    (8192, 4096): {"prove_total": 113.16 + 66.78 + 9.17, "logn": 13},
+    (16384, 4096): {"prove_total": 255.12 + 142.73 + 18.79, "logn": 14},
+}
+
+
+def main() -> None:
+    rows = int(os.environ.get("LUMENOS_BENCH_ROWS", 2048))
+    cols = int(os.environ.get("LUMENOS_BENCH_COLS", 1024))
+    log_n = int(os.environ.get("LUMENOS_BENCH_LOGN",
+                               REFERENCE.get((rows, cols), {}).get("logn", 12)))
+    rho = 2
+
+    from lumenos_tpu.core.field import GOLDILOCKS_57, PrimeField
+    from lumenos_tpu.core.chacha import random_matrix_row_major
+    from lumenos_tpu.core.ligero_plain import LigeroCommitter
+    from lumenos_tpu.core.merkle import MerkleTree
+    from lumenos_tpu.core.transcript import Transcript
+    from lumenos_tpu.core.ligero_plain import _powers, sample_query_indices
+    from lumenos_tpu.fhe.backend import BgvBackend
+    from lumenos_tpu.fhe.ligero import ct_leaf_bytes
+    from lumenos_tpu.fhe.params import generate_bgv_params_for_ntt
+    from lumenos_tpu.fhe.pipeline import build_server_pipeline
+
+    t = GOLDILOCKS_57
+    t0 = time.perf_counter()
+    params = generate_bgv_params_for_ntt(cols, log_n, t)
+    backend = BgvBackend(params)
+    field = PrimeField(t, cols * rho)
+    rng = np.random.default_rng(1)
+    sk, pk = backend.keygen(rng)
+    committer = LigeroCommitter(128, rows, cols, rho)
+    print(f"setup: {time.perf_counter()-t0:.1f}s "
+          f"(L={params.max_level+1} limbs, N={params.n})", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    matrix = random_matrix_row_major(rows, cols, t)
+    mat_ct = backend.encrypt_values(np.ascontiguousarray(matrix.T), pk, rng)
+    zeros_ct = backend.encrypt_values(
+        np.zeros((cols * (rho - 1), rows), dtype=np.uint64), pk, rng)
+    mat_ct.data.block_until_ready()
+    print(f"matrix gen + encrypt: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # challenge plaintexts (host transcript + encode)
+    tr = Transcript("bench")
+    r = np.array([x % t for x in tr.sample_uints("r", rows)], dtype=np.uint64)
+    point = 7
+    b = _powers(field, pow(point, cols, t), rows)
+    lvl = params.max_level
+    enc = backend.encoder
+    pt_r = backend._ntt(enc.lift_to_rns(enc.encode(r), lvl), lvl)
+    pt_b = backend._ntt(enc.lift_to_rns(enc.encode(b), lvl), lvl)
+
+    fn = build_server_pipeline(backend, field, cols, rho)
+
+    t0 = time.perf_counter()
+    out = fn(mat_ct.data, zeros_ct.data, pt_r, pt_b)
+    out[0].block_until_ready()
+    print(f"warmup (compile): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # timed run: full server prove = device program + Merkle + queries
+    t0 = time.perf_counter()
+    enc1, mr1, mz1 = fn(mat_ct.data, zeros_ct.data, pt_r, pt_b)
+    enc1.block_until_ready()
+    t_device = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    leaf_np = np.asarray(enc1)
+    leaves = [ct_leaf_bytes(leaf_np, i) for i in range(leaf_np.shape[0])]
+    tree = MerkleTree(leaves)
+    t_merkle = time.perf_counter() - t1
+
+    t2 = time.perf_counter()
+    tr.append_field("point", point)
+    idxs = sample_query_indices(tr, committer.meta.queries, cols * rho)
+    _ = leaf_np[np.array(idxs)]
+    paths = [tree.get_path(i) for i in idxs]
+    t_query = time.perf_counter() - t2
+
+    total = t_device + t_merkle + t_query
+    print(f"device(encode+inner): {t_device:.2f}s merkle: {t_merkle:.2f}s "
+          f"query: {t_query:.2f}s total: {total:.2f}s", file=sys.stderr)
+
+    ref = REFERENCE.get((rows, cols), {}).get("prove_total")
+    vs = (ref / total) if ref else 0.0
+    print(json.dumps({
+        "metric": f"homomorphic_ligero_server_prove_{rows}x{cols}_logN{log_n}",
+        "value": round(total, 3),
+        "unit": "s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

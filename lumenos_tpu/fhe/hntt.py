@@ -39,19 +39,22 @@ from .scales import equalize
 class _HNttCtx:
     """Per-invocation state: device data + host scales."""
 
-    def __init__(self, backend: BgvBackend, ct: CtBatch, field: PrimeField):
-        self.backend = backend
+    def __init__(self, backend, ct, field: PrimeField, n: int | None = None):
         self.field = field
         self.t = field.modulus
-        self.level = ct.level
-        q, u, s = backend.params.limb_consts(ct.level)
-        self.q_host = [int(x) for x in q]
-        self.qj = jnp.asarray(q)
-        self.uj = jnp.asarray(u)
-        self.sj = jnp.asarray(s)
-        self.x = ct.data                       # [n, 2, L, N]
-        n = self.x.shape[0]
+        if ct is not None:
+            self.level = ct.level
+            q, u, s = backend.params.limb_consts(ct.level)
+            self.q_host = [int(x) for x in q]
+            self.qj = jnp.asarray(q)
+            self.uj = jnp.asarray(u)
+            self.sj = jnp.asarray(s)
+            self.x = ct.data                   # [n, 2, L, N]
+            n = self.x.shape[0]
+        else:
+            self.x = None                      # scales-only simulation
         self.scales = np.array([1] * n, dtype=object)
+        self.n_total = n
 
     # -- device helpers ----------------------------------------------------
 
@@ -130,10 +133,10 @@ def _base_schedule(size: int, field: PrimeField):
 
 def _apply_base(ctx: _HNttCtx, size: int) -> None:
     """Apply base-case network over every contiguous block of `size`."""
-    n = ctx.x.shape[0]
+    n = ctx.n_total
     g = n // size
     t = ctx.t
-    view = ctx.x.reshape((g, size) + ctx.x.shape[1:])
+    view = None if ctx.x is None else ctx.x.reshape((g, size) + ctx.x.shape[1:])
     scales = ctx.scales.reshape(g, size)
     for op in _base_schedule(size, ctx.field):
         kind = op[0]
@@ -150,7 +153,8 @@ def _apply_base(ctx: _HNttCtx, size: int) -> None:
                     betas[gi, kk] = b
                     scales[gi, ui[kk]] = s_new
                     scales[gi, vi[kk]] = s_new
-            view = ctx.butterfly(view, ui, vi, alphas, betas)
+            if view is not None:
+                view = ctx.butterfly(view, ui, vi, alphas, betas)
         elif kind == "tw":
             _, pos, ws = op
             for p, w in zip(pos, ws):
@@ -159,9 +163,11 @@ def _apply_base(ctx: _HNttCtx, size: int) -> None:
                     scales[gi, p] = scales[gi, p] * w_inv % t
         elif kind == "swap":
             _, perm = op
-            view = view[:, np.array(perm)]
+            if view is not None:
+                view = view[:, np.array(perm)]
             scales[:, :] = scales[:, perm]
-    ctx.x = view.reshape((n,) + ctx.x.shape[1:])
+    if view is not None:
+        ctx.x = view.reshape((n,) + ctx.x.shape[1:])
     ctx.scales = scales.reshape(n)
 
 
@@ -171,14 +177,15 @@ def _hntt_inner(ctx: _HNttCtx, size: int) -> None:
     if size <= 8:
         _apply_base(ctx, size)
         return
-    n = ctx.x.shape[0]
+    n = ctx.n_total
     g = n // size
     n1 = sqrt_factor(size)
     n2 = size // n1
-    tail = ctx.x.shape[1:]
+    tail = None if ctx.x is None else ctx.x.shape[1:]
 
     def transpose(r: int, c: int) -> None:
-        ctx.x = ctx.x.reshape((g, r, c) + tail).swapaxes(1, 2).reshape((n,) + tail)
+        if ctx.x is not None:
+            ctx.x = ctx.x.reshape((g, r, c) + tail).swapaxes(1, 2).reshape((n,) + tail)
         ctx.scales = ctx.scales.reshape(g, r, c).swapaxes(1, 2).reshape(n)
 
     transpose(n1, n2)
@@ -195,6 +202,16 @@ def _hntt_inner(ctx: _HNttCtx, size: int) -> None:
     ctx.scales = sc.reshape(n)
     _hntt_inner(ctx, n2)
     transpose(n1, n2)
+
+
+@lru_cache(maxsize=16)
+def ligero_ntt_scales(modulus: int, field_n: int, size: int, n: int | None = None):
+    """Public per-position output scales of the transform (host-only)."""
+    from ..core.field import get_field
+    field = get_field(modulus, field_n)
+    ctx = _HNttCtx(None, None, field, n=n or size)
+    _hntt_inner(ctx, size)
+    return ctx.scales
 
 
 def homomorphic_ligero_ntt(

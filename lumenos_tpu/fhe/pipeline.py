@@ -1,0 +1,95 @@
+"""Fused, jittable server pipelines (commit + prove device programs).
+
+The protocol allows full fusion: the Fiat-Shamir transcript never absorbs
+the Merkle root before sampling r (reference fhe/ligero.go:199 keeps root
+out "for compatibility"), so challenge encodings are host-precomputable and
+the entire encode + rescale + inner-product server workload is ONE compiled
+XLA program over the ciphertext batch. Merkle hashing and transcript ops
+remain host-side around it.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from .. import jaxcfg  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from ..core.field import PrimeField, get_field
+from .backend import BgvBackend, CtBatch
+from .hntt import homomorphic_ligero_ntt
+from .ring import barrett_mul
+
+
+def build_server_pipeline(backend: BgvBackend, field: PrimeField,
+                          cols: int, rho_inv: int, in_shardings=None,
+                          out_shardings=None):
+    """Returns jitted fn(matrix_data, zeros_data, pt_r_ntt, pt_b_ntt) ->
+    (encoded_level1_data, mat_r_level1_data, mat_z_level1_data).
+
+    matrix_data: [cols, 2, L+1, N]; zeros_data: [cols*(rho_inv-1), ...] fresh
+    zero encryptions; pt_*_ntt: [L+1, N] challenge plaintexts (NTT domain).
+    """
+    lvl = backend.params.max_level
+    size = cols * rho_inv
+
+    def pipeline(matrix_data, zeros_data, pt_r_ntt, pt_b_ntt):
+        full = CtBatch(data=jnp.concatenate([matrix_data, zeros_data], axis=0),
+                       level=lvl)
+        enc_ct, _ = homomorphic_ligero_ntt(backend, full, field, size)
+        enc1 = backend.rescale_to(enc_ct, 1)
+
+        qj, uj, sj = backend._consts(lvl)
+        q2 = qj[:, None]
+        d_ntt = backend._ntt(matrix_data, lvl)
+        mr = backend._intt(barrett_mul(
+            d_ntt, pt_r_ntt[None, None], q2, uj[:, None], sj[:, None]), lvl)
+        mz = backend._intt(barrett_mul(
+            d_ntt, pt_b_ntt[None, None], q2, uj[:, None], sj[:, None]), lvl)
+        mr1 = backend.rescale_to(CtBatch(data=mr, level=lvl), 1).data
+        mz1 = backend.rescale_to(CtBatch(data=mz, level=lvl), 1).data
+        return enc1.data, mr1, mz1
+
+    kwargs = {}
+    if in_shardings is not None:
+        kwargs["in_shardings"] = in_shardings
+    if out_shardings is not None:
+        kwargs["out_shardings"] = out_shardings
+    return jax.jit(pipeline, **kwargs)
+
+
+def build_encode_pipeline(backend: BgvBackend, field: PrimeField,
+                          cols: int, rho_inv: int):
+    """Jitted fn(matrix_data, zeros_data) -> encoded level-1 data (commit phase)."""
+    lvl = backend.params.max_level
+    size = cols * rho_inv
+
+    def pipeline(matrix_data, zeros_data):
+        full = CtBatch(data=jnp.concatenate([matrix_data, zeros_data], axis=0),
+                       level=lvl)
+        enc_ct, _ = homomorphic_ligero_ntt(backend, full, field, size)
+        return backend.rescale_to(enc_ct, 1).data
+
+    return jax.jit(pipeline)
+
+
+def build_products_pipeline(backend: BgvBackend):
+    """Jitted fn(matrix_data, pt_r_ntt, pt_b_ntt) -> (matR1, matZ1) data."""
+    lvl = backend.params.max_level
+
+    def pipeline(matrix_data, pt_r_ntt, pt_b_ntt):
+        qj, uj, sj = backend._consts(lvl)
+        q2 = qj[:, None]
+        d_ntt = backend._ntt(matrix_data, lvl)
+        mr = backend._intt(barrett_mul(
+            d_ntt, pt_r_ntt[None, None], q2, uj[:, None], sj[:, None]), lvl)
+        mz = backend._intt(barrett_mul(
+            d_ntt, pt_b_ntt[None, None], q2, uj[:, None], sj[:, None]), lvl)
+        mr1 = backend.rescale_to(CtBatch(data=mr, level=lvl), 1).data
+        mz1 = backend.rescale_to(CtBatch(data=mz, level=lvl), 1).data
+        return mr1, mz1
+
+    return jax.jit(pipeline)
