@@ -37,7 +37,7 @@ def main() -> None:
     from lumenos_tpu.core.field import GOLDILOCKS_57, PrimeField
     from lumenos_tpu.core.chacha import random_matrix_row_major
     from lumenos_tpu.core.ligero_plain import LigeroCommitter
-    from lumenos_tpu.core.merkle import MerkleTree
+    from lumenos_tpu.core.merkle_fast import merkle_tree_over_ct_batch
     from lumenos_tpu.core.transcript import Transcript
     from lumenos_tpu.core.ligero_plain import _powers, sample_query_indices
     from lumenos_tpu.fhe.backend import BgvBackend
@@ -89,8 +89,7 @@ def main() -> None:
 
     t1 = time.perf_counter()
     leaf_np = np.asarray(enc1)
-    leaves = [ct_leaf_bytes(leaf_np, i) for i in range(leaf_np.shape[0])]
-    tree = MerkleTree(leaves)
+    tree = merkle_tree_over_ct_batch(leaf_np)
     t_merkle = time.perf_counter() - t1
 
     t2 = time.perf_counter()

@@ -1,0 +1,65 @@
+"""Parallel Merkle leaf hashing + fast tree construction.
+
+The Merkle layer hashes ~gigabytes of serialized ciphertext columns
+(256 KB per leaf at LogN=12 level 1). hashlib's SHA-256 releases the GIL
+for large buffers, so a thread pool achieves near-linear speedup on the
+leaf pass (the tree's interior levels are tiny by comparison: 32-byte
+concatenations).
+
+Counterpart of the reference's processLeafParallel + core.NewTree
+(fhe/ligero.go:126-183, core/tree.go:76).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .merkle import MerkleTree
+
+
+def _sha256(b) -> bytes:
+    return hashlib.sha256(b).digest()
+
+
+def hash_ct_leaves(data: np.ndarray, workers: int | None = None) -> list[bytes]:
+    """Leaf hashes for a ciphertext batch [n, 2, L, N] (LE-u64 leaf bytes).
+
+    Hashes each ciphertext's serialized bytes in parallel threads; the
+    leaf byte string is identical to ct_leaf_bytes(data, i).
+    """
+    n = data.shape[0]
+    arr = np.ascontiguousarray(data.astype("<u8", copy=False))
+    workers = workers or min(32, (os.cpu_count() or 4) * 2)
+
+    def leaf_hash(i: int) -> bytes:
+        return _sha256(arr[i].tobytes())
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(leaf_hash, range(n), chunksize=max(1, n // workers)))
+
+
+class FastMerkleTree(MerkleTree):
+    """MerkleTree built from precomputed leaf hashes (skips re-hashing)."""
+
+    def __init__(self, leaf_hashes: list[bytes]):
+        if not leaf_hashes:
+            raise ValueError("no leaves")
+        self.n_leaves = len(leaf_hashes)
+        levels: list[list[bytes]] = [list(leaf_hashes)]
+        while len(levels[-1]) > 1:
+            cur = levels[-1]
+            nxt = []
+            for i in range(0, len(cur), 2):
+                left = cur[i]
+                right = cur[i + 1] if i + 1 < len(cur) else cur[i]
+                nxt.append(_sha256(left + right))
+            levels.append(nxt)
+        self.levels = levels
+
+
+def merkle_tree_over_ct_batch(data: np.ndarray) -> FastMerkleTree:
+    return FastMerkleTree(hash_ct_leaves(data))

@@ -13,7 +13,7 @@ on the accelerator.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from functools import lru_cache
+from functools import cached_property, lru_cache
 
 import numpy as np
 
@@ -84,10 +84,10 @@ class BgvBackend:
         q, _, _ = self.params.limb_consts(level, with_p)
         return ntt_inv(x, bwd, bwds, ninv, ninvs, q)
 
-    def _signed_to_rns(self, x: np.ndarray, level: int, with_p: bool = False):
+    def _signed_to_rns(self, x, level: int, with_p: bool = False):
         """[..., N] small signed ints -> [..., L, N] residues (device)."""
         q, _, _ = self.params.limb_consts(level, with_p)
-        xj = jnp.asarray(x.astype(np.int64))[..., None, :]
+        xj = jnp.asarray(x, jnp.int64)[..., None, :]
         qj = jnp.asarray(q.astype(np.int64))[:, None]
         return ((xj % qj) + qj).astype(jnp.uint64) % qj.astype(jnp.uint64)
 
@@ -118,27 +118,48 @@ class BgvBackend:
 
     # -- encryption --------------------------------------------------------
 
+    @cached_property
+    def _encrypt_jit(self):
+        lvl = self.params.max_level
+
+        def impl(u, e0, e1, delta_m, pk0, pk1):
+            qj, uj, sj = self._consts(lvl)
+            q2 = qj[:, None]
+            u_ntt = self._ntt(self._signed_to_rns(u, lvl), lvl)
+            c0 = self._intt(barrett_mul(u_ntt, pk0, q2, uj[:, None], sj[:, None]), lvl)
+            c1 = self._intt(barrett_mul(u_ntt, pk1, q2, uj[:, None], sj[:, None]), lvl)
+            c0 = add_rns(c0, self._signed_to_rns(e0, lvl), q2)
+            c0 = add_rns(c0, jnp.asarray(delta_m, jnp.uint64), q2)
+            c1 = add_rns(c1, self._signed_to_rns(e1, lvl), q2)
+            return jnp.stack([c0, c1], axis=1)
+
+        import jax
+        return jax.jit(impl)
+
     def encrypt_polys(self, delta_m, pk: PublicKey, rng: np.random.Generator) -> CtBatch:
         """delta_m: [n, L+1, N] RNS embedding of Delta*m (coeff domain)."""
         lvl = self.params.max_level
         n_ct = delta_m.shape[0]
-        u = rng.integers(-1, 2, (n_ct, self.n)).astype(np.int8)
+        u = rng.integers(-1, 2, (n_ct, self.n)).astype(np.int64)
         e0 = self._sample_err(rng, (n_ct, self.n))
         e1 = self._sample_err(rng, (n_ct, self.n))
-        qj, uj, sj = self._consts(lvl)
-        q2 = qj[:, None]
-        u_ntt = self._ntt(self._signed_to_rns(u, lvl), lvl)
-        c0 = self._intt(barrett_mul(u_ntt, pk.pk0_ntt, q2, uj[:, None], sj[:, None]), lvl)
-        c1 = self._intt(barrett_mul(u_ntt, pk.pk1_ntt, q2, uj[:, None], sj[:, None]), lvl)
-        c0 = add_rns(c0, self._signed_to_rns(e0, lvl), q2)
-        c0 = add_rns(c0, jnp.asarray(delta_m, jnp.uint64), q2)
-        c1 = add_rns(c1, self._signed_to_rns(e1, lvl), q2)
-        return CtBatch(data=jnp.stack([c0, c1], axis=1), level=lvl)
+        data = self._encrypt_jit(u, e0, e1, delta_m, pk.pk0_ntt, pk.pk1_ntt)
+        return CtBatch(data=data, level=lvl)
+
+    @cached_property
+    def _encode_embed_jit(self):
+        lvl = self.params.max_level
+
+        def impl(values):
+            poly_t = self.encoder.encode(values)
+            return self.encoder.embed_delta_m(poly_t, lvl)
+
+        import jax
+        return jax.jit(impl)
 
     def encrypt_values(self, values, pk: PublicKey, rng: np.random.Generator) -> CtBatch:
         """values [n, k<=N] slot vectors -> fresh ciphertext batch."""
-        poly_t = self.encoder.encode(values)
-        dm = self.encoder.embed_delta_m(poly_t, self.params.max_level)
+        dm = self._encode_embed_jit(jnp.asarray(values, jnp.uint64))
         return self.encrypt_polys(dm, pk, rng)
 
     # -- decryption --------------------------------------------------------
@@ -200,9 +221,20 @@ class BgvBackend:
         m = (isum + frac_round % t_arr) % t_arr
         return m
 
+    @lru_cache(maxsize=8)
+    def _decrypt_jit(self, level: int):
+        import jax
+
+        def impl(data, s_ntt):
+            ct = CtBatch(data=data, level=level)
+            sk_like = SecretKey(s_signed=None, s_ntt=s_ntt)
+            return self.phase_to_mt(self.phase(ct, sk_like), level)
+
+        return jax.jit(impl)
+
     def decrypt_poly_t(self, ct: CtBatch, sk: SecretKey):
         """-> [..., N] plaintext polynomial coefficients mod t."""
-        return self.phase_to_mt(self.phase(ct, sk), ct.level)
+        return self._decrypt_jit(ct.level)(ct.data, sk.s_ntt)
 
     def decrypt_values(self, ct: CtBatch, sk: SecretKey, k: int | None = None):
         """-> [..., k] slot values (scale handling is the caller's job)."""

@@ -147,10 +147,15 @@ class KeySwitcher:
     # -- key generation ----------------------------------------------------
 
     def gen_switching_key(self, w_ntt_qp, sk: SecretKey,
-                          rng: np.random.Generator, level: int | None = None
-                          ) -> SwitchingKey:
-        """w_ntt_qp: [L_qp, N] NTT-domain residues of the target polynomial
-        (e.g. automorphism(s), s^2, or another ring's secret)."""
+                          rng: np.random.Generator, level: int | None = None,
+                          sk_out_ntt_qp=None) -> SwitchingKey:
+        """Key switching FROM key w TO key s_out: ksk_d =
+        (-(a*s_out + e) + P*B_d*w, a). Applying it to a ciphertext component
+        c1 yields (d0, d1) with d0 + d1*s_out = c1*w.
+
+        w_ntt_qp: [L_qp, N] NTT-domain residues of the OLD key polynomial
+        (e.g. automorphism(s), s^2, or the big-ring secret for a ring
+        switch); sk_out defaults to `sk` (same-key switching)."""
         p = self.params
         if level is None:
             level = p.max_level
@@ -168,7 +173,7 @@ class KeySwitcher:
 
         backend = self.backend
         ksk0_list, ksk1_list = [], []
-        s_ntt_qp = self._sk_ntt_qp(sk, level)
+        s_ntt_qp = sk_out_ntt_qp if sk_out_ntt_qp is not None else self._sk_ntt_qp(sk, level)
         for d, (idx, _, _, _, Qd) in enumerate(digits):
             a = np.stack([rng.integers(0, int(qi), n, dtype=np.uint64)
                           for qi in q_np])

@@ -32,6 +32,7 @@ from ..core.ligero_plain import (
     _powers,
 )
 from ..core.merkle import MerkleTree
+from ..core.merkle_fast import merkle_tree_over_ct_batch
 from ..core.tracer import Span, start_span
 from ..core.transcript import Transcript
 from .backend import BgvBackend, CtBatch, PublicKey, SecretKey
@@ -151,8 +152,7 @@ def commit(
         encoded.data.block_until_ready()
     with start_span("Merkle tree built", ctx):
         leaf_data = np.asarray(encoded.data)
-        leaves = [ct_leaf_bytes(leaf_data, i) for i in range(leaf_data.shape[0])]
-        tree = MerkleTree(leaves)
+        tree = merkle_tree_over_ct_batch(leaf_data)
     return HomomorphicLigeroProver(
         committer=committer, backend=backend, matrix_ct=matrix_ct,
         encoded_lvl1=encoded, encoded_scales=scales, tree=tree,
