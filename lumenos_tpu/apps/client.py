@@ -1,0 +1,97 @@
+"""PPD HTTP client: keygen, upload keys, fetch + decrypt + verify a proof.
+
+Reference: cmd/client/main.go - generate keys, POST /keys, GET /prove,
+decrypt the encrypted proof, optional proof-of-decryption, public verify,
+then run the local plaintext Ligero baseline for comparison.
+
+Run: python -m lumenos_tpu.apps.client --server http://127.0.0.1:8700 \
+         --rows 256 --cols 128 --logn 8 --point 7 [--vdec] [--local-baseline]
+"""
+
+from __future__ import annotations
+
+import argparse
+import struct
+import sys
+import urllib.request
+
+import numpy as np
+
+from ..core.chacha import random_matrix_row_major
+from ..core.field import PrimeField
+from ..core.ligero_plain import LigeroCommitter, ligero_prove_reference, verify
+from ..core.tracer import start_span
+from ..core.transcript import Transcript
+from ..fhe.backend import BgvBackend
+from ..fhe.ligero import EncryptedProof, decrypt_proof
+from ..fhe.params import generate_bgv_params_for_ntt
+from ..vdec.prover import prove_bfv_dec_batched
+from .wire import serialize_keys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--server", default="http://127.0.0.1:8700")
+    ap.add_argument("--rows", type=int, default=256)
+    ap.add_argument("--cols", type=int, default=128)
+    ap.add_argument("--rho", type=int, default=2)
+    ap.add_argument("--logn", type=int, default=8)
+    ap.add_argument("--point", type=int, default=1)
+    ap.add_argument("--vdec", action="store_true")
+    ap.add_argument("--local-baseline", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..core.field import GOLDILOCKS_57
+    t = GOLDILOCKS_57
+    params = generate_bgv_params_for_ntt(args.cols, args.logn, t)
+    backend = BgvBackend(params)
+    field = PrimeField(t, args.cols * args.rho)
+    rng = np.random.default_rng(12345)
+
+    span = start_span("Keygen + upload", None, "Keygen...")
+    sk, pk = backend.keygen(rng)
+    blob = serialize_keys(params, pk)
+    req = urllib.request.Request(args.server + "/keys", data=blob, method="POST")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.read() == b"ok"
+    span.end()
+    print(f"[client] uploaded keys: {len(blob) / 1e6:.1f} MB", flush=True)
+
+    span = start_span("Fetch proof", None)
+    with urllib.request.urlopen(f"{args.server}/prove?point={args.point}") as resp:
+        payload = resp.read()
+    span.end()
+    value = struct.unpack_from("<Q", payload, 0)[0]
+    eproof = EncryptedProof.from_bytes(payload[8:])
+    print(f"[client] received proof: {len(payload) / 1e6:.1f} MB, "
+          f"claimed value {value}", flush=True)
+
+    span = start_span("Decrypt proof", None, "Decrypt proof...")
+    proof = decrypt_proof(eproof, backend, sk, span)
+    span.end(newline=True)
+
+    if args.vdec:
+        span = start_span("Verifiable decrypt", None, "Verifiable decrypt...")
+        vals = np.stack([qc.values for qc in proof.queried_cols])
+        prove_bfv_dec_batched(
+            backend, eproof.queried_cols, vals, eproof.queried_scales,
+            sk, Transcript("vdec"), span)
+        span.end()
+
+    span = start_span("Verify proof", None)
+    verify(proof, args.point, value, field, Transcript("ppd"))
+    span.end()
+    print("[client] proof VERIFIED", flush=True)
+
+    if args.local_baseline:
+        span = start_span("Ligero local", None, "Ligero local baseline...")
+        matrix = random_matrix_row_major(args.rows, args.cols, t)
+        committer = LigeroCommitter(128, args.rows, args.cols, args.rho)
+        ligero_prove_reference(committer, matrix, args.point, field,
+                               Transcript("local"))
+        span.end()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -36,7 +36,8 @@ from ..core.merkle_fast import merkle_tree_over_ct_batch
 from ..core.tracer import Span, start_span
 from ..core.transcript import Transcript
 from .backend import BgvBackend, CtBatch, PublicKey, SecretKey
-from .hntt import homomorphic_encode
+from .hntt import ligero_ntt_scales
+from .pipeline import build_encode_pipeline, build_products_pipeline
 from .ring import barrett_mul
 
 
@@ -146,9 +147,14 @@ def commit(
     (reference fhe/ligero.go:95-183)."""
     meta = committer.meta
     with start_span("Encode", ctx):
-        encoded, scales = homomorphic_encode(
-            backend, matrix_ct, meta.rows, meta.rho_inv, pk, rng, field)
-        encoded = backend.rescale_to(encoded, 1)
+        pad = meta.cols * (meta.rho_inv - 1)
+        zeros_ct = backend.encrypt_values(
+            np.zeros((pad, meta.rows), dtype=np.uint64), pk, rng)
+        fn = build_encode_pipeline(backend, field, meta.cols, meta.rho_inv)
+        enc_data = fn(matrix_ct.data, zeros_ct.data)
+        encoded = CtBatch(data=enc_data, level=1)
+        scales = ligero_ntt_scales(field.modulus, field.n,
+                                   meta.cols * meta.rho_inv)
         encoded.data.block_until_ready()
     with start_span("Merkle tree built", ctx):
         leaf_data = np.asarray(encoded.data)
@@ -182,18 +188,10 @@ def prove(
         enc = backend.encoder
         pt_r = backend._ntt(enc.lift_to_rns(enc.encode(r), lvl), lvl)
         pt_b = backend._ntt(enc.lift_to_rns(enc.encode(b), lvl), lvl)
-        # share the forward NTT of the matrix between the two products
-        qj, uj, sj = backend._consts(lvl)
-        q2 = qj[:, None]
-        d_ntt = backend._ntt(prover.matrix_ct.data, lvl)
-        mat_r = CtBatch(data=backend._intt(
-            barrett_mul(d_ntt, pt_r[None, None], q2, uj[:, None], sj[:, None]), lvl),
-            level=lvl)
-        mat_z = CtBatch(data=backend._intt(
-            barrett_mul(d_ntt, pt_b[None, None], q2, uj[:, None], sj[:, None]), lvl),
-            level=lvl)
-        mat_r = backend.rescale_to(mat_r, 1)
-        mat_z = backend.rescale_to(mat_z, 1)
+        fn = build_products_pipeline(backend)
+        mr1, mz1 = fn(prover.matrix_ct.data, pt_r, pt_b)
+        mat_r = CtBatch(data=mr1, level=1)
+        mat_z = CtBatch(data=mz1, level=1)
         mat_r.data.block_until_ready()
 
     transcript.append_field("point", point)

@@ -24,6 +24,9 @@ from .hntt import homomorphic_ligero_ntt
 from .ring import barrett_mul
 
 
+_PIPE_CACHE: dict = {}
+
+
 def build_server_pipeline(backend: BgvBackend, field: PrimeField,
                           cols: int, rho_inv: int, in_shardings=None,
                           out_shardings=None):
@@ -33,6 +36,10 @@ def build_server_pipeline(backend: BgvBackend, field: PrimeField,
     matrix_data: [cols, 2, L+1, N]; zeros_data: [cols*(rho_inv-1), ...] fresh
     zero encryptions; pt_*_ntt: [L+1, N] challenge plaintexts (NTT domain).
     """
+    key = ("full", id(backend), field.modulus, field.n, cols, rho_inv,
+           id(in_shardings), id(out_shardings))
+    if key in _PIPE_CACHE:
+        return _PIPE_CACHE[key]
     lvl = backend.params.max_level
     size = cols * rho_inv
 
@@ -58,12 +65,16 @@ def build_server_pipeline(backend: BgvBackend, field: PrimeField,
         kwargs["in_shardings"] = in_shardings
     if out_shardings is not None:
         kwargs["out_shardings"] = out_shardings
-    return jax.jit(pipeline, **kwargs)
+    _PIPE_CACHE[key] = jax.jit(pipeline, **kwargs)
+    return _PIPE_CACHE[key]
 
 
 def build_encode_pipeline(backend: BgvBackend, field: PrimeField,
                           cols: int, rho_inv: int):
     """Jitted fn(matrix_data, zeros_data) -> encoded level-1 data (commit phase)."""
+    key = ("enc", id(backend), field.modulus, field.n, cols, rho_inv)
+    if key in _PIPE_CACHE:
+        return _PIPE_CACHE[key]
     lvl = backend.params.max_level
     size = cols * rho_inv
 
@@ -73,11 +84,15 @@ def build_encode_pipeline(backend: BgvBackend, field: PrimeField,
         enc_ct, _ = homomorphic_ligero_ntt(backend, full, field, size)
         return backend.rescale_to(enc_ct, 1).data
 
-    return jax.jit(pipeline)
+    _PIPE_CACHE[key] = jax.jit(pipeline)
+    return _PIPE_CACHE[key]
 
 
 def build_products_pipeline(backend: BgvBackend):
     """Jitted fn(matrix_data, pt_r_ntt, pt_b_ntt) -> (matR1, matZ1) data."""
+    key = ("prod", id(backend))
+    if key in _PIPE_CACHE:
+        return _PIPE_CACHE[key]
     lvl = backend.params.max_level
 
     def pipeline(matrix_data, pt_r_ntt, pt_b_ntt):
@@ -92,4 +107,5 @@ def build_products_pipeline(backend: BgvBackend):
         mz1 = backend.rescale_to(CtBatch(data=mz, level=lvl), 1).data
         return mr1, mz1
 
-    return jax.jit(pipeline)
+    _PIPE_CACHE[key] = jax.jit(pipeline)
+    return _PIPE_CACHE[key]
