@@ -17,6 +17,12 @@ import time
 
 import numpy as np
 
+
+def jnp_copy(x):
+    import jax.numpy as jnp
+    return jnp.array(x, copy=True)
+
+
 # reference numbers (BASELINE.md): rows x cols -> (prove_eval_total_s,
 # commit_encode_s, merkle_s) on m7i.8xlarge, 32 vCPU
 REFERENCE = {
@@ -43,7 +49,8 @@ def main() -> None:
     from lumenos_tpu.fhe.backend import BgvBackend
     from lumenos_tpu.fhe.ligero import ct_leaf_bytes
     from lumenos_tpu.fhe.params import generate_bgv_params_for_ntt
-    from lumenos_tpu.fhe.pipeline import build_server_pipeline
+    from lumenos_tpu.fhe.pipeline import build_encode_pipeline, build_products_pipeline
+    from lumenos_tpu.fhe.hntt import min_start_level, ligero_ntt_scales
 
     t = GOLDILOCKS_57
     t0 = time.perf_counter()
@@ -56,11 +63,16 @@ def main() -> None:
     print(f"setup: {time.perf_counter()-t0:.1f}s "
           f"(L={params.max_level+1} limbs, N={params.n})", file=sys.stderr)
 
+    start_level = min_start_level(params, cols * rho)
+    print(f"start level: {start_level} ({start_level+1} limbs of "
+          f"{params.max_level+1})", file=sys.stderr)
     t0 = time.perf_counter()
     matrix = random_matrix_row_major(rows, cols, t)
-    mat_ct = backend.encrypt_values(np.ascontiguousarray(matrix.T), pk, rng)
+    mat_ct = backend.encrypt_values(np.ascontiguousarray(matrix.T), pk, rng,
+                                    level=start_level)
     zeros_ct = backend.encrypt_values(
-        np.zeros((cols * (rho - 1), rows), dtype=np.uint64), pk, rng)
+        np.zeros((cols * (rho - 1), rows), dtype=np.uint64), pk, rng,
+        level=start_level)
     mat_ct.data.block_until_ready()
     print(f"matrix gen + encrypt: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
@@ -69,22 +81,28 @@ def main() -> None:
     r = np.array([x % t for x in tr.sample_uints("r", rows)], dtype=np.uint64)
     point = 7
     b = _powers(field, pow(point, cols, t), rows)
-    lvl = params.max_level
+    lvl = start_level
     enc = backend.encoder
     pt_r = backend._ntt(enc.lift_to_rns(enc.encode(r), lvl), lvl)
     pt_b = backend._ntt(enc.lift_to_rns(enc.encode(b), lvl), lvl)
 
-    fn = build_server_pipeline(backend, field, cols, rho)
+    fn_enc = build_encode_pipeline(backend, field, cols, rho, start_level)
+    fn_prod = build_products_pipeline(backend, level=start_level)
 
     t0 = time.perf_counter()
-    out = fn(mat_ct.data, zeros_ct.data, pt_r, pt_b)
-    out[0].block_until_ready()
+    out = fn_enc(mat_ct.data, jnp_copy(zeros_ct.data))
+    out.block_until_ready()
+    out2 = fn_prod(mat_ct.data, pt_r, pt_b)
+    out2[0].block_until_ready()
+    del out, out2
     print(f"warmup (compile): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # timed run: full server prove = device program + Merkle + queries
     t0 = time.perf_counter()
-    enc1, mr1, mz1 = fn(mat_ct.data, zeros_ct.data, pt_r, pt_b)
+    enc1 = fn_enc(mat_ct.data, zeros_ct.data.copy())
+    mr1, mz1 = fn_prod(mat_ct.data, pt_r, pt_b)
     enc1.block_until_ready()
+    mr1.block_until_ready()
     t_device = time.perf_counter() - t0
 
     t1 = time.perf_counter()
@@ -98,6 +116,29 @@ def main() -> None:
     _ = leaf_np[np.array(idxs)]
     paths = [tree.get_path(i) for i in idxs]
     t_query = time.perf_counter() - t2
+
+    if os.environ.get("LUMENOS_BENCH_CHECK"):
+        # spot-check: a few decrypted codeword positions vs plaintext oracle
+        from lumenos_tpu.core.ligero_plain import _encode_fn
+        from lumenos_tpu.fhe.backend import CtBatch
+        import jax.numpy as jnp
+        scales = ligero_ntt_scales(t, field.n, cols * rho)
+        check_pos = [0, 1, cols, cols * rho - 1]
+        sub = CtBatch(data=jnp.asarray(leaf_np[np.array(check_pos)]), level=1)
+        dec = np.asarray(backend.decrypt_values(sub, sk, rows))
+        pt_enc = np.asarray(_encode_fn(field, rho)(
+            jnp.asarray(matrix[:4, :], jnp.uint64)))  # first 4 rows encoded
+        ok = True
+        for ci, p in enumerate(check_pos):
+            sig_inv = pow(int(scales[p]), t - 2, t)
+            got = [int(dec[ci, rr]) * sig_inv % t for rr in range(4)]
+            exp = [int(pt_enc[rr, p]) for rr in range(4)]
+            if got != exp:
+                ok = False
+        print(f"spot-check decrypt vs plaintext oracle: "
+              f"{'OK' if ok else 'MISMATCH'}", file=sys.stderr)
+        if not ok:
+            raise SystemExit("bench correctness spot-check failed")
 
     total = t_device + t_merkle + t_query
     print(f"device(encode+inner): {t_device:.2f}s merkle: {t_merkle:.2f}s "

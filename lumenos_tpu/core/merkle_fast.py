@@ -28,11 +28,18 @@ def _sha256(b) -> bytes:
 def hash_ct_leaves(data: np.ndarray, workers: int | None = None) -> list[bytes]:
     """Leaf hashes for a ciphertext batch [n, 2, L, N] (LE-u64 leaf bytes).
 
-    Hashes each ciphertext's serialized bytes in parallel threads; the
-    leaf byte string is identical to ct_leaf_bytes(data, i).
+    Uses the native OpenMP SHA-256 when available (lumenos_tpu/native),
+    else a Python thread pool (hashlib releases the GIL on large buffers).
+    The leaf byte string is identical to ct_leaf_bytes(data, i).
     """
     n = data.shape[0]
     arr = np.ascontiguousarray(data.astype("<u8", copy=False))
+    lib = _native()
+    if lib is not None:
+        leaf_bytes = arr.nbytes // n
+        out = np.empty((n, 32), dtype=np.uint8)
+        lib.merkle_leaf_hashes(arr.ctypes.data, n, leaf_bytes, out.ctypes.data)
+        return [out[i].tobytes() for i in range(n)]
     workers = workers or min(32, (os.cpu_count() or 4) * 2)
 
     def leaf_hash(i: int) -> bytes:
@@ -40,6 +47,14 @@ def hash_ct_leaves(data: np.ndarray, workers: int | None = None) -> list[bytes]:
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
         return list(ex.map(leaf_hash, range(n), chunksize=max(1, n // workers)))
+
+
+def _native():
+    try:
+        from ..native import load_native
+        return load_native()
+    except Exception:
+        return None
 
 
 class FastMerkleTree(MerkleTree):

@@ -118,10 +118,8 @@ class BgvBackend:
 
     # -- encryption --------------------------------------------------------
 
-    @cached_property
-    def _encrypt_jit(self):
-        lvl = self.params.max_level
-
+    @lru_cache(maxsize=8)
+    def _encrypt_jit(self, lvl: int):
         def impl(u, e0, e1, delta_m, pk0, pk1):
             qj, uj, sj = self._consts(lvl)
             q2 = qj[:, None]
@@ -136,20 +134,24 @@ class BgvBackend:
         import jax
         return jax.jit(impl)
 
-    def encrypt_polys(self, delta_m, pk: PublicKey, rng: np.random.Generator) -> CtBatch:
-        """delta_m: [n, L+1, N] RNS embedding of Delta*m (coeff domain)."""
-        lvl = self.params.max_level
+    def encrypt_polys(self, delta_m, pk: PublicKey, rng: np.random.Generator,
+                      level: int | None = None) -> CtBatch:
+        """delta_m: [n, L+1, N] RNS embedding of Delta*m (coeff domain).
+
+        ``level``: encrypt directly at a reduced level (fewer limbs - less
+        memory/compute; sound whenever the remaining noise budget covers the
+        planned circuit, DESIGN.md section 3)."""
+        lvl = self.params.max_level if level is None else level
         n_ct = delta_m.shape[0]
         u = rng.integers(-1, 2, (n_ct, self.n)).astype(np.int64)
         e0 = self._sample_err(rng, (n_ct, self.n))
         e1 = self._sample_err(rng, (n_ct, self.n))
-        data = self._encrypt_jit(u, e0, e1, delta_m, pk.pk0_ntt, pk.pk1_ntt)
+        data = self._encrypt_jit(lvl)(
+            u, e0, e1, delta_m, pk.pk0_ntt[: lvl + 1], pk.pk1_ntt[: lvl + 1])
         return CtBatch(data=data, level=lvl)
 
-    @cached_property
-    def _encode_embed_jit(self):
-        lvl = self.params.max_level
-
+    @lru_cache(maxsize=8)
+    def _encode_embed_jit(self, lvl: int):
         def impl(values):
             poly_t = self.encoder.encode(values)
             return self.encoder.embed_delta_m(poly_t, lvl)
@@ -157,10 +159,12 @@ class BgvBackend:
         import jax
         return jax.jit(impl)
 
-    def encrypt_values(self, values, pk: PublicKey, rng: np.random.Generator) -> CtBatch:
+    def encrypt_values(self, values, pk: PublicKey, rng: np.random.Generator,
+                       level: int | None = None) -> CtBatch:
         """values [n, k<=N] slot vectors -> fresh ciphertext batch."""
-        dm = self._encode_embed_jit(jnp.asarray(values, jnp.uint64))
-        return self.encrypt_polys(dm, pk, rng)
+        lvl = self.params.max_level if level is None else level
+        dm = self._encode_embed_jit(lvl)(jnp.asarray(values, jnp.uint64))
+        return self.encrypt_polys(dm, pk, rng, level=lvl)
 
     # -- decryption --------------------------------------------------------
 

@@ -253,3 +253,30 @@ def homomorphic_encode(
         data=jnp.concatenate([matrix_ct.data, zeros.data], axis=0),
         level=matrix_ct.level, is_ntt=matrix_ct.is_ntt)
     return homomorphic_ligero_ntt(backend, full, field, cols * rho_inv)
+
+
+def transform_depth(size: int) -> int:
+    """Worst-path butterfly-layer count of the transform (noise budgeting).
+
+    Each layer multiplies worst-path noise by ~2^29.5 (equalization
+    cofactors <= sqrt(t)); twiddle layers are free (scale-deferred)."""
+    if size <= 1:
+        return 0
+    base = {2: 1, 4: 2, 8: 3}
+    if size in base:
+        return base[size]
+    n1 = sqrt_factor(size)
+    return transform_depth(n1) + transform_depth(size // n1)
+
+
+def min_start_level(params, size: int, safety_bits: int = 40) -> int:
+    """Smallest encryption level whose noise budget covers the transform +
+    a final level-1 decryption (DESIGN.md section 3 budget analysis)."""
+    fresh_bits = params.t.bit_length() + 14   # t * e_fresh
+    need = fresh_bits + transform_depth(size) * 30 + safety_bits
+    acc = 0
+    for lvl, q in enumerate(params.q_primes):
+        acc += int(q).bit_length()
+        if acc >= need:
+            return min(max(lvl, 1), params.max_level)
+    return params.max_level

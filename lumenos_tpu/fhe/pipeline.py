@@ -70,30 +70,35 @@ def build_server_pipeline(backend: BgvBackend, field: PrimeField,
 
 
 def build_encode_pipeline(backend: BgvBackend, field: PrimeField,
-                          cols: int, rho_inv: int):
-    """Jitted fn(matrix_data, zeros_data) -> encoded level-1 data (commit phase)."""
-    key = ("enc", id(backend), field.modulus, field.n, cols, rho_inv)
+                          cols: int, rho_inv: int, start_level: int | None = None):
+    """Jitted fn(matrix_data, zeros_data) -> encoded level-1 data (commit
+    phase). ``start_level``: level of the input ciphertexts (reduced-level
+    encryption shrinks memory/compute). Inputs are donated (buffer reuse)."""
+    if start_level is None:
+        start_level = backend.params.max_level
+    key = ("enc", id(backend), field.modulus, field.n, cols, rho_inv, start_level)
     if key in _PIPE_CACHE:
         return _PIPE_CACHE[key]
-    lvl = backend.params.max_level
     size = cols * rho_inv
 
     def pipeline(matrix_data, zeros_data):
         full = CtBatch(data=jnp.concatenate([matrix_data, zeros_data], axis=0),
-                       level=lvl)
+                       level=start_level)
         enc_ct, _ = homomorphic_ligero_ntt(backend, full, field, size)
         return backend.rescale_to(enc_ct, 1).data
 
-    _PIPE_CACHE[key] = jax.jit(pipeline)
+    _PIPE_CACHE[key] = jax.jit(pipeline, donate_argnums=(1,))
     return _PIPE_CACHE[key]
 
 
-def build_products_pipeline(backend: BgvBackend):
-    """Jitted fn(matrix_data, pt_r_ntt, pt_b_ntt) -> (matR1, matZ1) data."""
-    key = ("prod", id(backend))
+def build_products_pipeline(backend: BgvBackend, level: int | None = None):
+    """Jitted fn(matrix_data, pt_r_ntt, pt_b_ntt) -> (matR1, matZ1) data.
+    ``level``: level of the matrix ciphertexts (>= 2 for noise headroom of
+    one plaintext multiplication)."""
+    lvl = backend.params.max_level if level is None else level
+    key = ("prod", id(backend), lvl)
     if key in _PIPE_CACHE:
         return _PIPE_CACHE[key]
-    lvl = backend.params.max_level
 
     def pipeline(matrix_data, pt_r_ntt, pt_b_ntt):
         qj, uj, sj = backend._consts(lvl)

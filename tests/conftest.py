@@ -15,6 +15,7 @@ os.environ.setdefault(
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("LUMENOS_JAX_CACHE", "/tmp/lumenos_jax_cache_cpu")
 
 import jax
 
