@@ -17,7 +17,7 @@ _handle = None
 
 
 def _build() -> None:
-    srcs = [os.path.join(_HERE, "merkle.cpp")]
+    srcs = [os.path.join(_HERE, "merkle.cpp"), os.path.join(_HERE, "lnp_ring.cpp"), os.path.join(_HERE, "abdlop.cpp")]
     cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-fPIC", "-shared",
            "-o", _LIB, *srcs]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -42,6 +42,27 @@ def load_native() -> ctypes.CDLL | None:
                 ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p]
             lib.merkle_fold_level.argtypes = [
                 ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p]
+            lib.lnp_ring_new.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.lnp_ring_new.restype = ctypes.c_void_p
+            lib.lnp_ring_free.argtypes = [ctypes.c_void_p]
+            lib.lnp_ring_degree.restype = ctypes.c_int
+            lib.lnp_polyvec_mul.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p]*3 + [ctypes.c_uint64]
+            lib.lnp_polymat_mul_vec.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p]*3 + [ctypes.c_uint64]*2
+            lib.lnp_expand_uniform.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64]
+            lib.lnp_sample_ternary.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64]
+            lib.lnp_sample_gauss.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_double, ctypes.c_void_p, ctypes.c_uint64]
+            lib.lnp_rej_bimodal.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_double, ctypes.c_double]
+            lib.lnp_rej_bimodal.restype = ctypes.c_int
+            lib.lnp_shake128.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+            lib.abdlop_lift.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]
+            lib.abdlop_challenge.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+            lib.abdlop_add.argtypes = [ctypes.c_void_p, ctypes.c_int] + [ctypes.c_void_p]*3 + [ctypes.c_uint64]
+            lib.abdlop_sub.argtypes = [ctypes.c_void_p, ctypes.c_int] + [ctypes.c_void_p]*3 + [ctypes.c_uint64]
+            lib.abdlop_mask_add.argtypes = [ctypes.c_void_p]*4 + [ctypes.c_uint64]
+            lib.abdlop_norm2.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+            lib.abdlop_norm2.restype = ctypes.c_double
+            lib.abdlop_norm_inf.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+            lib.abdlop_norm_inf.restype = ctypes.c_int64
             _handle = lib
             return lib
         except Exception:
