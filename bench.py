@@ -49,8 +49,10 @@ def main() -> None:
     from lumenos_tpu.fhe.backend import BgvBackend
     from lumenos_tpu.fhe.ligero import ct_leaf_bytes
     from lumenos_tpu.fhe.params import generate_bgv_params_for_ntt
-    from lumenos_tpu.fhe.pipeline import build_encode_pipeline, build_products_pipeline
+    from lumenos_tpu.fhe.pipeline import (
+        build_encode_pipeline_full, build_products_pipeline)
     from lumenos_tpu.fhe.hntt import min_start_level, ligero_ntt_scales
+    from lumenos_tpu.fhe.bigbatch import encrypt_big_batch
 
     t = GOLDILOCKS_57
     t0 = time.perf_counter()
@@ -64,16 +66,20 @@ def main() -> None:
           f"(L={params.max_level+1} limbs, N={params.n})", file=sys.stderr)
 
     start_level = min_start_level(params, cols * rho)
+    prod_level = 2   # one pt-mul of headroom (DESIGN.md budget analysis)
     print(f"start level: {start_level} ({start_level+1} limbs of "
-          f"{params.max_level+1})", file=sys.stderr)
+          f"{params.max_level+1}); products at level {prod_level}",
+          file=sys.stderr)
     t0 = time.perf_counter()
     matrix = random_matrix_row_major(rows, cols, t)
-    mat_ct = backend.encrypt_values(np.ascontiguousarray(matrix.T), pk, rng,
-                                    level=start_level)
-    zeros_ct = backend.encrypt_values(
-        np.zeros((cols * (rho - 1), rows), dtype=np.uint64), pk, rng,
-        level=start_level)
-    mat_ct.data.block_until_ready()
+    ext_cols = cols * rho
+    full_vals = np.zeros((ext_cols, rows), dtype=np.uint64)
+    full_vals[:cols] = matrix.T
+    full_ct = encrypt_big_batch(backend, full_vals, pk, rng, start_level,
+                                chunk=512)
+    prod_ct = encrypt_big_batch(backend, np.ascontiguousarray(matrix.T),
+                                pk, rng, prod_level, chunk=1024)
+    full_ct.data.block_until_ready()
     print(f"matrix gen + encrypt: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # challenge plaintexts (host transcript + encode)
@@ -81,26 +87,28 @@ def main() -> None:
     r = np.array([x % t for x in tr.sample_uints("r", rows)], dtype=np.uint64)
     point = 7
     b = _powers(field, pow(point, cols, t), rows)
-    lvl = start_level
     enc = backend.encoder
-    pt_r = backend._ntt(enc.lift_to_rns(enc.encode(r), lvl), lvl)
-    pt_b = backend._ntt(enc.lift_to_rns(enc.encode(b), lvl), lvl)
+    pt_r = backend._ntt(enc.lift_to_rns(enc.encode(r), prod_level), prod_level)
+    pt_b = backend._ntt(enc.lift_to_rns(enc.encode(b), prod_level), prod_level)
 
-    fn_enc = build_encode_pipeline(backend, field, cols, rho, start_level)
-    fn_prod = build_products_pipeline(backend, level=start_level)
+    fn_enc = build_encode_pipeline_full(backend, field, ext_cols, start_level)
+    fn_prod = build_products_pipeline(backend, level=prod_level)
 
+    # AOT compile (no execution - donation means inputs are single-use)
     t0 = time.perf_counter()
-    out = fn_enc(mat_ct.data, jnp_copy(zeros_ct.data))
-    out.block_until_ready()
-    out2 = fn_prod(mat_ct.data, pt_r, pt_b)
-    out2[0].block_until_ready()
-    del out, out2
-    print(f"warmup (compile): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    import jax
+    fn_enc_c = fn_enc.lower(
+        jax.ShapeDtypeStruct(full_ct.data.shape, full_ct.data.dtype)).compile()
+    fn_prod_c = fn_prod.lower(
+        jax.ShapeDtypeStruct(prod_ct.data.shape, prod_ct.data.dtype),
+        jax.ShapeDtypeStruct(pt_r.shape, pt_r.dtype),
+        jax.ShapeDtypeStruct(pt_b.shape, pt_b.dtype)).compile()
+    print(f"compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    # timed run: full server prove = device program + Merkle + queries
+    # timed run: full server prove = device programs + Merkle + queries
     t0 = time.perf_counter()
-    enc1 = fn_enc(mat_ct.data, zeros_ct.data.copy())
-    mr1, mz1 = fn_prod(mat_ct.data, pt_r, pt_b)
+    enc1 = fn_enc_c(full_ct.data)
+    mr1, mz1 = fn_prod_c(prod_ct.data, pt_r, pt_b)
     enc1.block_until_ready()
     mr1.block_until_ready()
     t_device = time.perf_counter() - t0

@@ -91,6 +91,24 @@ def build_encode_pipeline(backend: BgvBackend, field: PrimeField,
     return _PIPE_CACHE[key]
 
 
+def build_encode_pipeline_full(backend: BgvBackend, field: PrimeField,
+                               size: int, start_level: int):
+    """Jitted fn(full_data [size,2,L+1,N]) -> encoded level-1 data; the
+    input batch (matrix columns + zero-pad encryptions, pre-assembled) is
+    DONATED so XLA reuses its ~10 GB in place."""
+    key = ("encfull", id(backend), field.modulus, field.n, size, start_level)
+    if key in _PIPE_CACHE:
+        return _PIPE_CACHE[key]
+
+    def pipeline(full_data):
+        full = CtBatch(data=full_data, level=start_level)
+        enc_ct, _ = homomorphic_ligero_ntt(backend, full, field, size)
+        return backend.rescale_to(enc_ct, 1).data
+
+    _PIPE_CACHE[key] = jax.jit(pipeline, donate_argnums=(0,))
+    return _PIPE_CACHE[key]
+
+
 def build_products_pipeline(backend: BgvBackend, level: int | None = None):
     """Jitted fn(matrix_data, pt_r_ntt, pt_b_ntt) -> (matR1, matZ1) data.
     ``level``: level of the matrix ciphertexts (>= 2 for noise headroom of
