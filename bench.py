@@ -43,7 +43,7 @@ def main() -> None:
     from lumenos_tpu.core.field import GOLDILOCKS_57, PrimeField
     from lumenos_tpu.core.chacha import random_matrix_row_major
     from lumenos_tpu.core.ligero_plain import LigeroCommitter
-    from lumenos_tpu.core.merkle_fast import merkle_tree_over_ct_batch
+    from lumenos_tpu.core.merkle_fast import FastMerkleTree
     from lumenos_tpu.core.transcript import Transcript
     from lumenos_tpu.core.ligero_plain import _powers, sample_query_indices
     from lumenos_tpu.fhe.backend import BgvBackend
@@ -105,23 +105,26 @@ def main() -> None:
         jax.ShapeDtypeStruct(pt_b.shape, pt_b.dtype)).compile()
     print(f"compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    # timed run: full server prove = device programs + Merkle + queries
+    # timed run: full server prove = device programs (encode + fused leaf
+    # digests + inner products) + host tree fold + query openings
     t0 = time.perf_counter()
-    enc1 = fn_enc_c(full_ct.data)
+    enc1, digests = fn_enc_c(full_ct.data)
     mr1, mz1 = fn_prod_c(prod_ct.data, pt_r, pt_b)
     enc1.block_until_ready()
     mr1.block_until_ready()
     t_device = time.perf_counter() - t0
 
     t1 = time.perf_counter()
-    leaf_np = np.asarray(enc1)
-    tree = merkle_tree_over_ct_batch(leaf_np)
+    from lumenos_tpu.ops.sha256_jax import digests_to_bytes
+    tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
     t_merkle = time.perf_counter() - t1
 
     t2 = time.perf_counter()
     tr.append_field("point", point)
     idxs = sample_query_indices(tr, committer.meta.queries, cols * rho)
-    _ = leaf_np[np.array(idxs)]
+    # open queried columns: device gather, transfer only ~queries leaves
+    import jax.numpy as jnp
+    leaf_np = np.asarray(enc1[jnp.asarray(np.array(idxs))])
     paths = [tree.get_path(i) for i in idxs]
     t_query = time.perf_counter() - t2
 
@@ -129,10 +132,9 @@ def main() -> None:
         # spot-check: a few decrypted codeword positions vs plaintext oracle
         from lumenos_tpu.core.ligero_plain import _encode_fn
         from lumenos_tpu.fhe.backend import CtBatch
-        import jax.numpy as jnp
         scales = ligero_ntt_scales(t, field.n, cols * rho)
         check_pos = [0, 1, cols, cols * rho - 1]
-        sub = CtBatch(data=jnp.asarray(leaf_np[np.array(check_pos)]), level=1)
+        sub = CtBatch(data=enc1[jnp.asarray(np.array(check_pos))], level=1)
         dec = np.asarray(backend.decrypt_values(sub, sk, rows))
         pt_enc = np.asarray(_encode_fn(field, rho)(
             jnp.asarray(matrix[:4, :], jnp.uint64)))  # first 4 rows encoded

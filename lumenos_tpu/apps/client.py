@@ -23,7 +23,7 @@ from ..core.ligero_plain import LigeroCommitter, ligero_prove_reference, verify
 from ..core.tracer import start_span
 from ..core.transcript import Transcript
 from ..fhe.backend import BgvBackend
-from ..fhe.ligero import EncryptedProof, decrypt_proof
+from ..fhe.ligero import EncryptedProof, decrypt_proof, fhe_leaf_hasher
 from ..fhe.params import generate_bgv_params_for_ntt
 from ..vdec.prover import prove_bfv_dec_batched
 from .wire import serialize_keys
@@ -79,7 +79,7 @@ def main(argv=None):
         span.end()
 
     span = start_span("Verify proof", None)
-    verify(proof, args.point, value, field, Transcript("ppd"))
+    verify(proof, args.point, value, field, Transcript("ppd"), fhe_leaf_hasher)
     span.end()
     print("[client] proof VERIFIED", flush=True)
 

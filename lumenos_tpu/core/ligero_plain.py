@@ -216,6 +216,7 @@ def verify(
     value: int,
     field: PrimeField,
     transcript: Transcript,
+    leaf_hasher=None,
 ) -> None:
     """Public verifier (reference fhe/ligero.go:517-574). Raises on failure."""
     meta = proof.meta
@@ -247,7 +248,8 @@ def verify(
 
     for i, idx in enumerate(query_indices):
         qc = proof.queried_cols[i]
-        if not verify_merkle_path(qc.leaf_bytes, proof.merkle_paths[i], proof.root, idx):
+        if not verify_merkle_path(qc.leaf_bytes, proof.merkle_paths[i],
+                                  proof.root, idx, leaf_hasher):
             raise ValueError(f"failed to verify merkle path for column {idx}")
         if int(col_r[i]) != int(encoded_mat_r[idx]):
             raise ValueError(f"well-formedness R check failed for column {idx}")

@@ -55,8 +55,9 @@ class MerkleTree:
         return path
 
 
-def verify_merkle_path(leaf: bytes, path: Sequence[bytes], root: bytes, index: int) -> bool:
-    current = _sha256(leaf)
+def verify_merkle_path(leaf: bytes, path: Sequence[bytes], root: bytes, index: int,
+                       leaf_hasher=None) -> bool:
+    current = (leaf_hasher or _sha256)(leaf)
     for sibling in path:
         if index % 2 == 0:
             current = _sha256(current + sibling)

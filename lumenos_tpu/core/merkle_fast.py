@@ -49,6 +49,28 @@ def hash_ct_leaves(data: np.ndarray, workers: int | None = None) -> list[bytes]:
         return list(ex.map(leaf_hash, range(n), chunksize=max(1, n // workers)))
 
 
+def hash_ct_leaves_striped(data: np.ndarray, stripes: int = 64) -> list[bytes]:
+    """Striped ciphertext-leaf digests (definition: ops/sha256_jax.py
+    sha256_leaves_striped; host oracle ct_leaf_digest_host). Native two-pass
+    when available."""
+    n = data.shape[0]
+    arr = np.ascontiguousarray(data.astype("<u8", copy=False)).reshape(n, -1)
+    words = arr.shape[1]
+    sub_words = words // stripes
+    lib = _native()
+    if lib is not None:
+        flat = arr.reshape(n * stripes, sub_words)
+        d1 = np.empty((n * stripes, 32), dtype=np.uint8)
+        lib.merkle_leaf_hashes(flat.ctypes.data, n * stripes, sub_words * 8,
+                               d1.ctypes.data)
+        d1 = np.ascontiguousarray(d1.reshape(n, stripes * 32))
+        d2 = np.empty((n, 32), dtype=np.uint8)
+        lib.merkle_leaf_hashes(d1.ctypes.data, n, stripes * 32, d2.ctypes.data)
+        return [d2[i].tobytes() for i in range(n)]
+    from ..ops.sha256_jax import ct_leaf_digest_host
+    return [ct_leaf_digest_host(arr[i].tobytes(), stripes) for i in range(n)]
+
+
 def _native():
     try:
         from ..native import load_native

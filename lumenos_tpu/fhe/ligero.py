@@ -32,13 +32,16 @@ from ..core.ligero_plain import (
     _powers,
 )
 from ..core.merkle import MerkleTree
-from ..core.merkle_fast import merkle_tree_over_ct_batch
+from ..core.merkle_fast import FastMerkleTree, hash_ct_leaves_striped
 from ..core.tracer import Span, start_span
 from ..core.transcript import Transcript
 from .backend import BgvBackend, CtBatch, PublicKey, SecretKey
 from .hntt import ligero_ntt_scales
 from .pipeline import build_encode_pipeline, build_products_pipeline
 from .ring import barrett_mul
+
+
+from ..ops.sha256_jax import ct_leaf_digest_host as fhe_leaf_hasher  # noqa: E402
 
 
 def ct_leaf_bytes(data_np: np.ndarray, i: int) -> bytes:
@@ -158,7 +161,7 @@ def commit(
         encoded.data.block_until_ready()
     with start_span("Merkle tree built", ctx):
         leaf_data = np.asarray(encoded.data)
-        tree = merkle_tree_over_ct_batch(leaf_data)
+        tree = FastMerkleTree(hash_ct_leaves_striped(leaf_data))
     return HomomorphicLigeroProver(
         committer=committer, backend=backend, matrix_ct=matrix_ct,
         encoded_lvl1=encoded, encoded_scales=scales, tree=tree,

@@ -103,7 +103,12 @@ def build_encode_pipeline_full(backend: BgvBackend, field: PrimeField,
     def pipeline(full_data):
         full = CtBatch(data=full_data, level=start_level)
         enc_ct, _ = homomorphic_ligero_ntt(backend, full, field, size)
-        return backend.rescale_to(enc_ct, 1).data
+        enc1 = backend.rescale_to(enc_ct, 1).data
+        # fused on-device Merkle leaf digests: only 32 B/leaf leaves the chip
+        from ..ops.sha256_jax import sha256_leaves_striped
+        flat = enc1.reshape(enc1.shape[0], -1)
+        digests = sha256_leaves_striped(flat, flat.shape[1] * 8)
+        return enc1, digests
 
     _PIPE_CACHE[key] = jax.jit(pipeline, donate_argnums=(0,))
     return _PIPE_CACHE[key]

@@ -14,7 +14,11 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: first compile of the big jitted programs is
 # expensive (remote TPU compile); subsequent runs hit this cache.
-_cache_dir = os.environ.get("LUMENOS_JAX_CACHE", "/tmp/lumenos_jax_cache")
+# Separate cache dirs per platform: remote-compiled TPU-host artifacts are
+# NOT safe to load into local CPU processes (mismatched machine features).
+_plat = os.environ.get("JAX_PLATFORMS", "tpu").split(",")[0] or "tpu"
+_cache_dir = os.environ.get("LUMENOS_JAX_CACHE",
+                            f"/tmp/lumenos_jax_cache_{_plat}")
 try:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -9,6 +9,13 @@ first by pytest).
 """
 
 import os
+import sys
+
+# Fully isolate tests from the axon TPU plugin: the tunnel is single-tenant
+# and any jax init would block while a bench holds the device. Stripping the
+# plugin's site dir forces a pure-CPU jax.
+sys.path = [p for p in sys.path if "axon" not in p]
+os.environ["PYTHONPATH"] = ""
 
 os.environ.setdefault(
     "XLA_FLAGS",

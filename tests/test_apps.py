@@ -19,7 +19,7 @@ from lumenos_tpu.core.field import GOLDILOCKS_57, PrimeField
 from lumenos_tpu.core.ligero_plain import verify
 from lumenos_tpu.core.transcript import Transcript
 from lumenos_tpu.fhe.backend import BgvBackend
-from lumenos_tpu.fhe.ligero import EncryptedProof, decrypt_proof
+from lumenos_tpu.fhe.ligero import EncryptedProof, decrypt_proof, fhe_leaf_hasher
 from lumenos_tpu.fhe.params import generate_bgv_params_for_ntt
 from lumenos_tpu.vdec.prover import prove_bfv_dec_batched
 
@@ -68,7 +68,7 @@ def test_http_ppd_end_to_end(served):
     eproof = EncryptedProof.from_bytes(payload[8:])
 
     proof = decrypt_proof(eproof, backend, sk)
-    verify(proof, POINT, value, field, Transcript("ppd"))
+    verify(proof, POINT, value, field, Transcript("ppd"), fhe_leaf_hasher)
 
     # proof-of-decryption over the received queried columns
     vals = np.stack([qc.values for qc in proof.queried_cols])

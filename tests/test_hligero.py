@@ -15,7 +15,8 @@ from lumenos_tpu.core.ligero_plain import (
 )
 from lumenos_tpu.core.transcript import Transcript
 from lumenos_tpu.fhe.backend import BgvBackend, CtBatch
-from lumenos_tpu.fhe.ligero import EncryptedProof, commit, decrypt_proof, prove
+from lumenos_tpu.fhe.ligero import (EncryptedProof, commit, decrypt_proof,
+    fhe_leaf_hasher, prove)
 from lumenos_tpu.fhe.params import generate_bgv_params_for_ntt
 
 T = GOLDILOCKS_57
@@ -51,7 +52,7 @@ def test_e2e_serialize_decrypt_verify(setup):
 
     proof = decrypt_proof(eproof2, backend, sk)
     value = evaluate_matrix_poly(matrix, POINT, field)
-    verify(proof, POINT, value, field, Transcript("test"))
+    verify(proof, POINT, value, field, Transcript("test"), fhe_leaf_hasher)
 
 
 def test_matr_matz_match_plaintext_reference(setup):
@@ -76,4 +77,4 @@ def test_verify_rejects_wrong_value(setup):
     proof = decrypt_proof(eproof, backend, sk)
     value = evaluate_matrix_poly(matrix, POINT, field)
     with pytest.raises(ValueError):
-        verify(proof, POINT, (value + 1) % T, field, Transcript("test"))
+        verify(proof, POINT, (value + 1) % T, field, Transcript("test"), fhe_leaf_hasher)
