@@ -70,9 +70,34 @@ def main() -> None:
     print(f"start level: {start_level} ({start_level+1} limbs of "
           f"{params.max_level+1}); products at level {prod_level}",
           file=sys.stderr)
+
+    # pre-compile EVERY device program before any large allocation exists
+    # (trace/compile with a ~full chip is what OOMs at the big configs)
+    import jax
+    t0 = time.perf_counter()
+    ext_cols = cols * rho
+    n = params.n
+    u64 = np.uint64
+    for lvl, nn in ((start_level, 512), (prod_level, 1024)):
+        sds = lambda *s, dt=np.int64: jax.ShapeDtypeStruct(s, dt)
+        backend._encode_embed_jit(lvl).lower(
+            sds(nn, rows, dt=u64)).compile()
+        backend._encrypt_jit(lvl).lower(
+            sds(nn, n), sds(nn, n), sds(nn, n),
+            sds(nn, lvl + 1, n, dt=u64),
+            sds(lvl + 1, n, dt=u64), sds(lvl + 1, n, dt=u64)).compile()
+    fn_enc = build_encode_pipeline_full(backend, field, ext_cols, start_level)
+    fn_enc_c = fn_enc.lower(jax.ShapeDtypeStruct(
+        (ext_cols, 2, start_level + 1, n), u64)).compile()
+    fn_prod = build_products_pipeline(backend, level=prod_level)
+    fn_prod_c = fn_prod.lower(
+        jax.ShapeDtypeStruct((cols, 2, prod_level + 1, n), u64),
+        jax.ShapeDtypeStruct((prod_level + 1, n), u64),
+        jax.ShapeDtypeStruct((prod_level + 1, n), u64)).compile()
+    print(f"precompile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
     t0 = time.perf_counter()
     matrix = random_matrix_row_major(rows, cols, t)
-    ext_cols = cols * rho
     full_vals = np.zeros((ext_cols, rows), dtype=np.uint64)
     full_vals[:cols] = matrix.T
     full_ct = encrypt_big_batch(backend, full_vals, pk, rng, start_level,
@@ -90,20 +115,6 @@ def main() -> None:
     enc = backend.encoder
     pt_r = backend._ntt(enc.lift_to_rns(enc.encode(r), prod_level), prod_level)
     pt_b = backend._ntt(enc.lift_to_rns(enc.encode(b), prod_level), prod_level)
-
-    fn_enc = build_encode_pipeline_full(backend, field, ext_cols, start_level)
-    fn_prod = build_products_pipeline(backend, level=prod_level)
-
-    # AOT compile (no execution - donation means inputs are single-use)
-    t0 = time.perf_counter()
-    import jax
-    fn_enc_c = fn_enc.lower(
-        jax.ShapeDtypeStruct(full_ct.data.shape, full_ct.data.dtype)).compile()
-    fn_prod_c = fn_prod.lower(
-        jax.ShapeDtypeStruct(prod_ct.data.shape, prod_ct.data.dtype),
-        jax.ShapeDtypeStruct(pt_r.shape, pt_r.dtype),
-        jax.ShapeDtypeStruct(pt_b.shape, pt_b.dtype)).compile()
-    print(f"compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # timed run: full server prove = device programs (encode + fused leaf
     # digests + inner products) + host tree fold + query openings
