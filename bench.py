@@ -78,7 +78,14 @@ def main() -> None:
     ext_cols = cols * rho
     n = params.n
     u64 = np.uint64
-    for lvl, nn in ((start_level, 512), (prod_level, 1024)):
+    # staged two-pass encode for batches whose monolithic program exceeds
+    # HBM liveness (DESIGN.md section 7 / fhe/staged.py)
+    staged = None
+    if ext_cols * 2 * (start_level + 1) * n * 8 > 1.5e9:  # batch bytes beyond safe monolithic liveness
+        from lumenos_tpu.fhe.staged import StagedEncode
+        staged = StagedEncode(backend, field, ext_cols, start_level)
+    enc_chunk = staged.n1 * staged.chunk_a if staged else 512
+    for lvl, nn in ((start_level, enc_chunk), (prod_level, 1024)):
         sds = lambda *s, dt=np.int64: jax.ShapeDtypeStruct(s, dt)
         backend._encode_embed_jit(lvl).lower(
             sds(nn, rows, dt=u64)).compile()
@@ -86,9 +93,13 @@ def main() -> None:
             sds(nn, n), sds(nn, n), sds(nn, n),
             sds(nn, lvl + 1, n, dt=u64),
             sds(lvl + 1, n, dt=u64), sds(lvl + 1, n, dt=u64)).compile()
-    fn_enc = build_encode_pipeline_full(backend, field, ext_cols, start_level)
-    fn_enc_c = fn_enc.lower(jax.ShapeDtypeStruct(
-        (ext_cols, 2, start_level + 1, n), u64)).compile()
+    if staged is not None:
+        staged.precompile()
+        fn_enc_c = None
+    else:
+        fn_enc = build_encode_pipeline_full(backend, field, ext_cols, start_level)
+        fn_enc_c = fn_enc.lower(jax.ShapeDtypeStruct(
+            (ext_cols, 2, start_level + 1, n), u64)).compile()
     fn_prod = build_products_pipeline(backend, level=prod_level)
     fn_prod_c = fn_prod.lower(
         jax.ShapeDtypeStruct((cols, 2, prod_level + 1, n), u64),
@@ -100,11 +111,23 @@ def main() -> None:
     matrix = random_matrix_row_major(rows, cols, t)
     full_vals = np.zeros((ext_cols, rows), dtype=np.uint64)
     full_vals[:cols] = matrix.T
-    full_ct = encrypt_big_batch(backend, full_vals, pk, rng, start_level,
-                                chunk=512)
+    if staged is not None:
+        # encrypt in stage-A j-chunk order: chunk jc = cells (i, j) i-major
+        grid = full_vals.reshape(staged.n1, staged.n2, rows)
+        j_chunks = []
+        for j0 in range(0, staged.n2, staged.chunk_a):
+            vals = np.ascontiguousarray(
+                grid[:, j0:j0 + staged.chunk_a].reshape(-1, rows))
+            ct = backend.encrypt_values(vals, pk, rng, level=start_level)
+            j_chunks.append(ct.data.reshape(
+                (staged.n1, staged.chunk_a) + ct.data.shape[1:]))
+        full_ct = None
+    else:
+        full_ct = encrypt_big_batch(backend, full_vals, pk, rng, start_level,
+                                    chunk=512)
     prod_ct = encrypt_big_batch(backend, np.ascontiguousarray(matrix.T),
                                 pk, rng, prod_level, chunk=1024)
-    full_ct.data.block_until_ready()
+    prod_ct.data.block_until_ready()
     print(f"matrix gen + encrypt: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # challenge plaintexts (host transcript + encode)
@@ -119,7 +142,12 @@ def main() -> None:
     # timed run: full server prove = device programs (encode + fused leaf
     # digests + inner products) + host tree fold + query openings
     t0 = time.perf_counter()
-    enc1, digests = fn_enc_c(full_ct.data)
+    if staged is not None:
+        enc_ct, digests, enc_scales = staged.run(j_chunks)
+        enc1 = enc_ct.data
+    else:
+        enc1, digests = fn_enc_c(full_ct.data)
+        enc_scales = None
     mr1, mz1 = fn_prod_c(prod_ct.data, pt_r, pt_b)
     enc1.block_until_ready()
     mr1.block_until_ready()
@@ -143,7 +171,8 @@ def main() -> None:
         # spot-check: a few decrypted codeword positions vs plaintext oracle
         from lumenos_tpu.core.ligero_plain import _encode_fn
         from lumenos_tpu.fhe.backend import CtBatch
-        scales = ligero_ntt_scales(t, field.n, cols * rho)
+        scales = (enc_scales if enc_scales is not None
+                  else ligero_ntt_scales(t, field.n, cols * rho))
         check_pos = [0, 1, cols, cols * rho - 1]
         sub = CtBatch(data=enc1[jnp.asarray(np.array(check_pos))], level=1)
         dec = np.asarray(backend.decrypt_values(sub, sk, rows))

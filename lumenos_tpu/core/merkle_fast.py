@@ -49,13 +49,16 @@ def hash_ct_leaves(data: np.ndarray, workers: int | None = None) -> list[bytes]:
         return list(ex.map(leaf_hash, range(n), chunksize=max(1, n // workers)))
 
 
-def hash_ct_leaves_striped(data: np.ndarray, stripes: int = 64) -> list[bytes]:
+def hash_ct_leaves_striped(data: np.ndarray, stripes: int | None = None) -> list[bytes]:
     """Striped ciphertext-leaf digests (definition: ops/sha256_jax.py
     sha256_leaves_striped; host oracle ct_leaf_digest_host). Native two-pass
     when available."""
     n = data.shape[0]
     arr = np.ascontiguousarray(data.astype("<u8", copy=False)).reshape(n, -1)
     words = arr.shape[1]
+    if stripes is None:
+        from ..ops.sha256_jax import leaf_stripes
+        stripes = leaf_stripes(words * 8)
     sub_words = words // stripes
     lib = _native()
     if lib is not None:

@@ -1,0 +1,175 @@
+"""Two-stage chunked homomorphic encode for batches larger than HBM.
+
+The monolithic encode program for 8192 positions x 9 limbs needs ~60 GB of
+XLA liveness - 4x a v5e's HBM. This module splits the six-step transform's
+TOP level into orchestrated chunked device calls with bounded liveness:
+
+  view the position axis as [n1, n2] cells (i-major);
+  stage A (chunked over j): size-n1 sub-transforms along i at the start
+      level, each chunk rescaled to `mid_level` inside the chunk program
+      (the noise-floor reset preserves the global margin - DESIGN.md 7);
+      input chunks are donated and freed as they are consumed;
+  twiddle layer: host-side scale bookkeeping only (scale-deferred);
+  stage B (chunked over i): size-n2 sub-transforms along j at the reduced
+      limb count, rescaled to level 1 inside the chunk;
+  finalize: cells -> reference flat order j*n1 + i, fused striped leaf
+      digests on device.
+
+Everything stays chunked (lists of arrays); the only full-size arrays are
+the mid-level buffer (~5 GB) and the level-1 output (~2 GB). Peak ~12 GB
+at the 8192x4096 config.
+
+The caller encrypts the input in J-CHUNK order: chunk jc holds cells
+(i, j) for j in [jc*cw, (jc+1)*cw), i-major (see bench.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import jaxcfg  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from ..core.field import PrimeField
+from ..core.ntt import sqrt_factor, twiddle_matrix
+from ..ops.sha256_jax import sha256_leaves_striped
+from .backend import BgvBackend, CtBatch
+from .hntt import _HNttCtx, _hntt_inner, ligero_ntt_scales
+
+_CACHE: dict = {}
+
+
+def _stage_a_fn(backend, field, n1: int, cw: int, level: int, mid_level: int):
+    key = ("A", id(backend), field.modulus, field.n, n1, cw, level, mid_level)
+    if key not in _CACHE:
+        def impl(chunk):  # [n1, cw, 2, L, N] -> [n1, cw, 2, Lm, N]
+            c = jnp.swapaxes(chunk, 0, 1)               # [cw, n1, ...]
+            flat = c.reshape((cw * n1,) + c.shape[2:])
+            ctx = _HNttCtx(backend, CtBatch(data=flat, level=level), field)
+            _hntt_inner(ctx, n1)
+            out = backend.rescale_to(CtBatch(data=ctx.x, level=level), mid_level)
+            o = out.data.reshape((cw, n1) + out.data.shape[1:])
+            return jnp.swapaxes(o, 0, 1)
+        _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
+    return _CACHE[key]
+
+
+def _stage_b_fn(backend, field, n2: int, rows_scales: tuple, mid_level: int):
+    """rows_scales: tuple of per-row initial-scale tuples (bakes cofactors)."""
+    key = ("B", id(backend), field.modulus, field.n, n2, mid_level,
+           hash(rows_scales))
+    if key not in _CACHE:
+        cw = len(rows_scales)
+
+        def impl(chunk):  # [cw, n2, 2, Lm, N] -> [cw, n2, 2, 2, N]
+            rows = []
+            for r in range(cw):
+                ctx = _HNttCtx(backend,
+                               CtBatch(data=chunk[r], level=mid_level), field)
+                ctx.scales = np.array(list(rows_scales[r]), dtype=object)
+                _hntt_inner(ctx, n2)
+                rows.append(backend.rescale_to(
+                    CtBatch(data=ctx.x, level=mid_level), 1).data)
+            return jnp.stack(rows)
+        _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
+    return _CACHE[key]
+
+
+def _finalize_fn(size: int, n: int):
+    key = ("F", size, n)
+    if key not in _CACHE:
+        def impl(o):  # [n1, n2, 2, 2, N] -> (flat [size,2,2,N], digests)
+            flat = jnp.swapaxes(o, 0, 1).reshape(size, 2, 2, n)
+            leaves = flat.reshape(size, -1)
+            digests = sha256_leaves_striped(leaves, leaves.shape[1] * 8)
+            return flat, digests
+        _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
+    return _CACHE[key]
+
+
+class StagedEncode:
+    """Orchestration + host scale bookkeeping for one (size, level) config."""
+
+    def __init__(self, backend: BgvBackend, field: PrimeField, size: int,
+                 start_level: int, mid_level: int = 5,
+                 chunk_a: int = 16, chunk_b: int = 16):
+        self.backend = backend
+        self.field = field
+        self.size = size
+        self.n1 = sqrt_factor(size)
+        self.n2 = size // self.n1
+        self.level = start_level
+        self.mid = mid_level
+        self.chunk_a = min(chunk_a, self.n2)
+        self.chunk_b = min(chunk_b, self.n1)
+        t = field.modulus
+
+        # scale bookkeeping (host, exact): stage A output scales per i,
+        # twiddle layer, per-row stage-B input scales
+        sa = ligero_ntt_scales(t, field.n, self.n1)
+        sc = np.empty((self.n1, self.n2), dtype=object)
+        for i in range(self.n1):
+            sc[i, :] = sa[i]
+        tw = twiddle_matrix(field, size)
+        for i in range(1, self.n1):
+            for j in range(1, self.n2):
+                sc[i, j] = int(sc[i, j]) * pow(int(tw[i, j]) % t, t - 2, t) % t
+        self.sc_mid = sc
+        # final scales: evolve each row through the size-n2 transform
+        final = np.empty((self.n1, self.n2), dtype=object)
+        for i in range(self.n1):
+            ctx = _HNttCtx(None, None, field, n=self.n2)
+            ctx.scales = sc[i].copy()
+            _hntt_inner(ctx, self.n2)
+            final[i] = ctx.scales
+        # reference flat order: position p = j*n1 + i
+        self.final_scales = np.array(final.T.reshape(-1).tolist(), dtype=object)
+
+    # -- compile everything with dummy shapes (no big buffers live) --------
+
+    def precompile(self) -> None:
+        n = self.backend.n
+        L = self.level + 1
+        Lm = self.mid + 1
+        u64 = jnp.uint64
+        import jax as _jax
+        _stage_a_fn(self.backend, self.field, self.n1, self.chunk_a,
+                    self.level, self.mid).lower(
+            _jax.ShapeDtypeStruct((self.n1, self.chunk_a, 2, L, n), u64)).compile()
+        for i0 in range(0, self.n1, self.chunk_b):
+            cw = min(self.chunk_b, self.n1 - i0)
+            rs = tuple(tuple(int(x) for x in self.sc_mid[i0 + r])
+                       for r in range(cw))
+            _stage_b_fn(self.backend, self.field, self.n2, rs, self.mid).lower(
+                _jax.ShapeDtypeStruct((cw, self.n2, 2, Lm, n), u64)).compile()
+        _finalize_fn(self.size, n).lower(
+            _jax.ShapeDtypeStruct((self.n1, self.n2, 2, 2, n), u64)).compile()
+
+    # -- execution ---------------------------------------------------------
+
+    def run(self, j_chunks: list):
+        """j_chunks: list of [n1, chunk_a, 2, L, N] device arrays (consumed).
+        Returns (level-1 CtBatch in reference order, digests, final scales)."""
+        backend = self.backend
+        fa = _stage_a_fn(backend, self.field, self.n1, self.chunk_a,
+                         self.level, self.mid)
+        mids = []
+        for k in range(len(j_chunks)):
+            mids.append(fa(j_chunks[k]))
+            j_chunks[k] = None
+        small = jnp.concatenate(mids, axis=1)   # [n1, n2, 2, Lm, N]
+        del mids
+
+        outs = []
+        for i0 in range(0, self.n1, self.chunk_b):
+            cw = min(self.chunk_b, self.n1 - i0)
+            rs = tuple(tuple(int(x) for x in self.sc_mid[i0 + r])
+                       for r in range(cw))
+            fb = _stage_b_fn(backend, self.field, self.n2, rs, self.mid)
+            outs.append(fb(small[i0:i0 + cw]))
+        del small
+        cells = jnp.concatenate(outs, axis=0)   # [n1, n2, 2, 2, N]
+        del outs
+        flat, digests = _finalize_fn(self.size, backend.n)(cells)
+        return CtBatch(data=flat, level=1), digests, self.final_scales

@@ -111,10 +111,21 @@ def sha256_leaves(data_u64, leaf_bytes: int):
     return _compress(state, pad_block)
 
 
-STRIPES = 64  # intra-leaf parallelism for ciphertext leaves
+STRIPES = 64  # max intra-leaf parallelism for ciphertext leaves
 
 
-def sha256_leaves_striped(data_u64, leaf_bytes: int, stripes: int = STRIPES):
+def leaf_stripes(leaf_bytes: int) -> int:
+    """Deterministic stripe count: largest power of two <= min(64,
+    leaf_bytes/64), at least 2 (so the digest-of-digests message is
+    block-aligned). Shared by device and host implementations."""
+    s = min(STRIPES, leaf_bytes // 64)
+    p = 2
+    while p * 2 <= s:
+        p *= 2
+    return p
+
+
+def sha256_leaves_striped(data_u64, leaf_bytes: int, stripes: int | None = None):
     """Two-level leaf digest: split each leaf into `stripes` equal stripes,
     SHA-256 each in parallel lanes, then SHA-256 the concatenated stripe
     digests. Defines the ciphertext Merkle leaf hash (host oracle:
@@ -122,6 +133,8 @@ def sha256_leaves_striped(data_u64, leaf_bytes: int, stripes: int = STRIPES):
     """
     n = data_u64.shape[0]
     words64 = leaf_bytes // 8
+    if stripes is None:
+        stripes = leaf_stripes(leaf_bytes)
     assert words64 % stripes == 0
     sub_words = words64 // stripes
     assert (sub_words * 8) % 64 == 0
@@ -138,9 +151,11 @@ def sha256_leaves_striped(data_u64, leaf_bytes: int, stripes: int = STRIPES):
     return sha256_leaves(as_u64, stripes * 32)
 
 
-def ct_leaf_digest_host(leaf: bytes, stripes: int = STRIPES) -> bytes:
+def ct_leaf_digest_host(leaf: bytes, stripes: int | None = None) -> bytes:
     """Host oracle for sha256_leaves_striped (hashlib)."""
     import hashlib
+    if stripes is None:
+        stripes = leaf_stripes(len(leaf))
     sub = len(leaf) // stripes
     acc = b"".join(hashlib.sha256(leaf[i * sub:(i + 1) * sub]).digest()
                    for i in range(stripes))

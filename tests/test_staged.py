@@ -1,0 +1,71 @@
+"""Staged two-pass encode == monolithic encode (values, order, scales)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lumenos_tpu.core.field import PrimeField, GOLDILOCKS_57
+from lumenos_tpu.fhe.backend import BgvBackend, CtBatch
+from lumenos_tpu.fhe.hntt import homomorphic_ligero_ntt, ligero_ntt_scales
+from lumenos_tpu.fhe.params import BgvParams
+from lumenos_tpu.fhe.staged import StagedEncode
+
+T = GOLDILOCKS_57
+LOG_N = 4
+N = 1 << LOG_N
+SIZE = 16  # n1 = n2 = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = BgvParams.generate(
+        log_n=LOG_N, log_q=[58, 56, 56, 56, 56, 56], log_p=[55, 55], t=T)
+    backend = BgvBackend(params)
+    rng = np.random.default_rng(3)
+    sk, pk = backend.keygen(rng)
+    field = PrimeField(T, SIZE)
+    vals = np.random.default_rng(1).integers(0, T, (SIZE, N)).astype(np.uint64)
+    ct = backend.encrypt_values(vals, pk, rng, level=5)
+    return backend, sk, field, ct
+
+
+def test_staged_matches_monolithic(setup):
+    backend, sk, field, ct = setup
+    # monolithic reference: transform + rescale to 1
+    mono, scales_mono = homomorphic_ligero_ntt(backend, ct, field, SIZE)
+    mono1 = backend.rescale_to(mono, 1)
+    dec_mono = np.asarray(backend.decrypt_values(mono1, sk))
+
+    st = StagedEncode(backend, field, SIZE, start_level=5, mid_level=3,
+                      chunk_a=2, chunk_b=2)
+    st.precompile()
+    # j-chunk order: cells (i, j) i-major per j-chunk
+    grid = ct.data.reshape((st.n1, st.n2) + ct.data.shape[1:])
+    chunks = [jnp.asarray(np.ascontiguousarray(
+        np.asarray(grid[:, j0:j0 + st.chunk_a])))
+        for j0 in range(0, st.n2, st.chunk_a)]
+    out_ct, digests, scales_staged = st.run(chunks)
+    dec_staged = np.asarray(backend.decrypt_values(out_ct, sk))
+
+    # scales must match the monolithic schedule
+    assert [int(x) for x in scales_staged] == [int(x) for x in scales_mono]
+    # decrypted values: staged output went through extra rescales (exact
+    # plaintext-preserving), so values must agree position-wise
+    assert np.array_equal(dec_staged, dec_mono)
+
+
+def test_staged_digests_match_leaves(setup):
+    backend, sk, field, ct = setup
+    from lumenos_tpu.ops.sha256_jax import ct_leaf_digest_host, digests_to_bytes
+    from lumenos_tpu.fhe.ligero import ct_leaf_bytes
+    st = StagedEncode(backend, field, SIZE, start_level=5, mid_level=3,
+                      chunk_a=2, chunk_b=2)
+    grid = ct.data.reshape((st.n1, st.n2) + ct.data.shape[1:])
+    chunks = [jnp.asarray(np.ascontiguousarray(np.asarray(grid[:, j0:j0 + st.chunk_a])))
+              for j0 in range(0, st.n2, st.chunk_a)]
+    out_ct, digests, _ = st.run(chunks)
+    got = digests_to_bytes(np.asarray(digests))
+    leaf_np = np.asarray(out_ct.data)
+    for i in range(SIZE):
+        assert got[i] == ct_leaf_digest_host(ct_leaf_bytes(leaf_np, i))
