@@ -172,3 +172,18 @@ def prove_bfv_dec_batched(
         st = extract_statement(backend, batched, digit_vals, sk)
         check_witness(st)
     return st
+
+
+def prove_and_verify_pod(backend, queried_cols, queried_values, queried_scales,
+                         sk, transcript, ctx=None):
+    """Full PoD: statement + lattice proof + self-verify (the reference's
+    C prover verifies its own proof before returning, vdec.c:793-850)."""
+    st = prove_bfv_dec_batched(backend, queried_cols, queried_values,
+                               queried_scales, sk, transcript, ctx)
+    from .pod import PodProver
+    prover = PodProver(st)
+    with start_span("Proof generation", ctx):
+        proof = prover.prove(transcript.challenge_bytes(b"pod_seed", 32))
+    if not prover.verify(proof):
+        raise RuntimeError("generated PoD proof is not valid")
+    return st, proof
