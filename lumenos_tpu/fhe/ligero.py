@@ -249,3 +249,95 @@ def decrypt_proof(
 
     return Proof(meta=meta, root=eproof.root, mat_r=mat_r, mat_z=mat_z,
                  queried_cols=queried, merkle_paths=eproof.merkle_paths)
+
+
+# ---------------------------------------------------------------------------
+# Reference-compatible InnerSum mode (rotation-tree inner products)
+# ---------------------------------------------------------------------------
+
+def prove_innersum_mode(
+    prover: HomomorphicLigeroProver,
+    point: int,
+    transcript: Transcript,
+    keyswitcher,
+    galois_keys: dict,
+    ctx: Span | None = None,
+) -> EncryptedProof:
+    """The reference's matrixInnerSumEval path (fhe/ligero.go:299-370):
+    per-column ct x pt followed by an InnerSum rotation tree; the client
+    then decodes SLOT 0 (decrypt_proof_innersum) instead of the constant
+    coefficient. Needs the client's Galois keys
+    (keyswitcher.galois_elements_for_inner_sum(rows)).
+
+    The default rotation-free mode (prove()) is faster (DESIGN.md section
+    4); this mode exists for API/semantics parity with the reference.
+    """
+    backend = prover.backend
+    meta = prover.committer.meta
+    field = prover.field
+    rows, cols = meta.rows, meta.cols
+    t = field.modulus
+
+    r = np.array([x % t for x in transcript.sample_uints("r", rows)],
+                 dtype=np.uint64)
+    z_pow = pow(point, cols, t)
+    b = _powers(field, z_pow, rows)
+
+    lvl = prover.matrix_ct.level
+    with start_span("InnerProduct(Matrix, r|b) [InnerSum]", ctx):
+        enc = backend.encoder
+        out = []
+        for w in (r, b):
+            pt = backend._ntt(enc.lift_to_rns(enc.encode(w), lvl), lvl)
+            prod = backend.mul_plain_ntt(prover.matrix_ct, pt)
+            summed = keyswitcher.inner_sum(prod, rows, galois_keys)
+            out.append(backend.rescale_to(summed, 1))
+        mat_r, mat_z = out
+
+    transcript.append_field("point", point)
+
+    with start_span("Query columns", ctx):
+        ext_cols = cols * meta.rho_inv
+        query_indices = sample_query_indices(transcript, meta.queries, ext_cols)
+        sel = np.array(query_indices)
+        queried = CtBatch(data=prover.encoded_lvl1.data[sel], level=1)
+        q_scales = np.array(
+            [int(prover.encoded_scales[i]) for i in query_indices],
+            dtype=np.uint64)
+        paths = [prover.tree.get_path(i) for i in query_indices]
+
+    return EncryptedProof(
+        meta=meta, root=prover.root, mat_r=mat_r, mat_z=mat_z,
+        queried_cols=queried, queried_scales=q_scales,
+        query_indices=query_indices, merkle_paths=paths)
+
+
+def decrypt_proof_innersum(
+    eproof: EncryptedProof,
+    backend: BgvBackend,
+    sk: SecretKey,
+    ctx: Span | None = None,
+) -> Proof:
+    """Client decrypt for the InnerSum mode: MatR/MatZ from SLOT 0 (the
+    reference's decode, fhe/ligero.go:436-487)."""
+    meta = eproof.meta
+    t = backend.t
+
+    with start_span("Decrypt queried columns", ctx):
+        vals = np.asarray(backend.decrypt_values(eproof.queried_cols, sk,
+                                                 meta.rows))
+        leaf_np = np.asarray(eproof.queried_cols.data)
+        queried = []
+        for i in range(vals.shape[0]):
+            sigma_inv = pow(int(eproof.queried_scales[i]), t - 2, t)
+            unscaled = (vals[i].astype(object) * sigma_inv) % t
+            queried.append(QueriedColumn(
+                values=np.array(unscaled.tolist(), dtype=np.uint64),
+                leaf_bytes=ct_leaf_bytes(leaf_np, i)))
+
+    with start_span("Decrypt row inner products", ctx):
+        mat_r = np.asarray(backend.decrypt_values(eproof.mat_r, sk, 1))[:, 0]
+        mat_z = np.asarray(backend.decrypt_values(eproof.mat_z, sk, 1))[:, 0]
+
+    return Proof(meta=meta, root=eproof.root, mat_r=mat_r, mat_z=mat_z,
+                 queried_cols=queried, merkle_paths=eproof.merkle_paths)
