@@ -156,9 +156,12 @@ class StagedEncode:
                          self.level, self.mid)
         mids = []
         for k in range(len(j_chunks)):
-            mids.append(fa(j_chunks[k]))
+            out = fa(j_chunks[k])
+            out.block_until_ready()  # serialize: avoid stacked executable temps
+            mids.append(out)
             j_chunks[k] = None
         small = jnp.concatenate(mids, axis=1)   # [n1, n2, 2, Lm, N]
+        small.block_until_ready()
         del mids
 
         outs = []
@@ -167,9 +170,12 @@ class StagedEncode:
             rs = tuple(tuple(int(x) for x in self.sc_mid[i0 + r])
                        for r in range(cw))
             fb = _stage_b_fn(backend, self.field, self.n2, rs, self.mid)
-            outs.append(fb(small[i0:i0 + cw]))
+            ob = fb(small[i0:i0 + cw])
+            ob.block_until_ready()
+            outs.append(ob)
         del small
         cells = jnp.concatenate(outs, axis=0)   # [n1, n2, 2, 2, N]
+        cells.block_until_ready()
         del outs
         flat, digests = _finalize_fn(self.size, backend.n)(cells)
         return CtBatch(data=flat, level=1), digests, self.final_scales
