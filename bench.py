@@ -112,20 +112,20 @@ def main() -> None:
     full_vals = np.zeros((ext_cols, rows), dtype=np.uint64)
     full_vals[:cols] = matrix.T
     if staged is not None:
-        # encrypt in stage-A j-chunk order: chunk jc = cells (i, j) i-major;
-        # the products batch is encrypted AFTER the encode run so its
-        # residency does not stack with the big encode buffers
+        # stage-A input chunks are encrypted JUST-IN-TIME inside the staged
+        # run (client work, untimed) so only one is ever device-resident
         grid = full_vals.reshape(staged.n1, staged.n2, rows)
-        j_chunks = []
-        for j0 in range(0, staged.n2, staged.chunk_a):
+
+        def make_chunk(jc):
+            j0 = jc * staged.chunk_a
             vals = np.ascontiguousarray(
                 grid[:, j0:j0 + staged.chunk_a].reshape(-1, rows))
             ct = backend.encrypt_values(vals, pk, rng, level=start_level)
-            j_chunks.append(ct.data.reshape(
-                (staged.n1, staged.chunk_a) + ct.data.shape[1:]))
+            return ct.data.reshape(
+                (staged.n1, staged.chunk_a) + ct.data.shape[1:])
+
         full_ct = None
         prod_ct = None
-        j_chunks[-1].block_until_ready()
     else:
         full_ct = encrypt_big_batch(backend, full_vals, pk, rng, start_level,
                                     chunk=512)
@@ -147,10 +147,10 @@ def main() -> None:
     # digests + inner products) + host tree fold + query openings
     t0 = time.perf_counter()
     if staged is not None:
-        enc_ct, digests, enc_scales = staged.run(j_chunks)
+        enc_ct, digests, enc_scales, t_encode_run = staged.run_streaming(
+            make_chunk, staged.n2 // staged.chunk_a)
         enc1 = enc_ct.data
         enc1.block_until_ready()
-        t_encode_run = time.perf_counter() - t0
         te = time.perf_counter()
         prod_ct = encrypt_big_batch(backend, np.ascontiguousarray(matrix.T),
                                     pk, rng, prod_level, chunk=1024)

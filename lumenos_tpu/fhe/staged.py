@@ -148,6 +148,50 @@ class StagedEncode:
 
     # -- execution ---------------------------------------------------------
 
+    def run_streaming(self, make_chunk, n_chunks: int):
+        """Memory-minimal execution: obtain each stage-A input chunk
+        just-in-time from `make_chunk(jc)` (e.g. encrypt-on-demand), so at
+        most ONE input chunk is device-resident next to the mid buffers.
+        Returns (CtBatch, digests, scales, device_seconds) where
+        device_seconds counts only the transform/digest device calls
+        (chunk production is the client's encryption, not server work)."""
+        import time as _time
+        backend = self.backend
+        fa = _stage_a_fn(backend, self.field, self.n1, self.chunk_a,
+                         self.level, self.mid)
+        t_dev = 0.0
+        mids = []
+        for k in range(n_chunks):
+            chunk = make_chunk(k)
+            chunk.block_until_ready()
+            t0 = _time.perf_counter()
+            out = fa(chunk)
+            out.block_until_ready()
+            t_dev += _time.perf_counter() - t0
+            del chunk
+            mids.append(out)
+        t0 = _time.perf_counter()
+        small = jnp.concatenate(mids, axis=1)
+        small.block_until_ready()
+        del mids
+        outs = []
+        for i0 in range(0, self.n1, self.chunk_b):
+            cw = min(self.chunk_b, self.n1 - i0)
+            rs = tuple(tuple(int(x) for x in self.sc_mid[i0 + r])
+                       for r in range(cw))
+            fb = _stage_b_fn(backend, self.field, self.n2, rs, self.mid)
+            ob = fb(small[i0:i0 + cw])
+            ob.block_until_ready()
+            outs.append(ob)
+        del small
+        cells = jnp.concatenate(outs, axis=0)
+        cells.block_until_ready()
+        del outs
+        flat, digests = _finalize_fn(self.size, backend.n)(cells)
+        flat.block_until_ready()
+        t_dev += _time.perf_counter() - t0
+        return CtBatch(data=flat, level=1), digests, self.final_scales, t_dev
+
     def run(self, j_chunks: list):
         """j_chunks: list of [n1, chunk_a, 2, L, N] device arrays (consumed).
         Returns (level-1 CtBatch in reference order, digests, final scales)."""
