@@ -160,20 +160,23 @@ class StagedEncode:
         fa = _stage_a_fn(backend, self.field, self.n1, self.chunk_a,
                          self.level, self.mid)
         t_dev = 0.0
-        mids = []
+        Lm = self.mid + 1
+        n = backend.n
+        small = jnp.zeros((self.n1, self.n2, 2, Lm, n), dtype=jnp.uint64)
+        upd = _CACHE.setdefault(
+            ("upd", self.size, Lm, n, self.chunk_a),
+            jax.jit(lambda b, c, j0: jax.lax.dynamic_update_slice(
+                b, c, (0, j0, 0, 0, 0)), donate_argnums=(0,)))
         for k in range(n_chunks):
             chunk = make_chunk(k)
             chunk.block_until_ready()
             t0 = _time.perf_counter()
             out = fa(chunk)
-            out.block_until_ready()
+            small = upd(small, out, k * self.chunk_a)
+            small.block_until_ready()
             t_dev += _time.perf_counter() - t0
-            del chunk
-            mids.append(out)
+            del chunk, out
         t0 = _time.perf_counter()
-        small = jnp.concatenate(mids, axis=1)
-        small.block_until_ready()
-        del mids
         outs = []
         for i0 in range(0, self.n1, self.chunk_b):
             cw = min(self.chunk_b, self.n1 - i0)
@@ -191,6 +194,9 @@ class StagedEncode:
         flat.block_until_ready()
         t_dev += _time.perf_counter() - t0
         return CtBatch(data=flat, level=1), digests, self.final_scales, t_dev
+
+    # NOTE: run() (list-based) kept for tests; run_streaming is the
+    # memory-minimal production path
 
     def run(self, j_chunks: list):
         """j_chunks: list of [n1, chunk_a, 2, L, N] device arrays (consumed).
