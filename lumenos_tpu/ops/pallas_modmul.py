@@ -9,7 +9,11 @@ butterflies, dyadic muls) off XLA's generic s64 emulation.
 This module provides the first kernel of that family:
     shoup_mulmod_pallas(x, w, w_shoup, q): x * w mod q for fixed w
 with exact agreement against the u64 reference (tests/test_pallas.py,
-interpret mode; compiled path exercised on hardware in later rounds).
+interpret mode). Hardware status: Mosaic compiles the kernel once the
+leading axis is blocked under the ~16 MB scoped-VMEM budget (~24 live u32
+temporaries per element); under jax_enable_x64 the BlockSpec index_map must
+stay i32 (hence the `i - i` zero). Full-kernel hardware validation +
+migration of the NTT butterflies is round-2 work.
 """
 
 from __future__ import annotations
@@ -114,8 +118,18 @@ def shoup_mulmod_pallas(x_u64, w: int, w_shoup: int, q: int,
     import functools
     kernel = functools.partial(_shoup_kernel, w=int(w), w_shoup=int(w_shoup),
                                q=int(q))
+    # block over the leading axis to stay inside the ~16 MB VMEM budget
+    assert x.ndim == 2
+    rows, cols = x.shape
+    blk = rows
+    while blk * cols * 4 * 24 > 8 * 1024 * 1024 and blk % 2 == 0:  # ~24 live u32 temps
+        blk //= 2
+    spec = pl.BlockSpec((blk, cols), lambda i: (i, i - i))  # i-i: stay i32 under x64
     out_h, out_l = pl.pallas_call(
         kernel,
+        grid=(rows // blk,),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
         out_shape=(jax.ShapeDtypeStruct(x.shape, jnp.uint32),
                    jax.ShapeDtypeStruct(x.shape, jnp.uint32)),
         interpret=interpret,
