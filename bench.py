@@ -1,30 +1,39 @@
 """Benchmark: homomorphic Ligero server prove on the real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line at the end:
+    {"metric", "value", "unit", "vs_baseline", "configs": {...}}
 vs_baseline = reference_seconds / our_seconds (speedup; >1 means faster
-than the reference's 32-vCPU m7i.8xlarge numbers, BASELINE.md).
+than the reference's 32-vCPU m7i.8xlarge numbers, BASELINE.md). The
+headline metric is the largest completed config; per-config results are
+in "configs".
 
-Config via env: LUMENOS_BENCH_ROWS/COLS/LOGN (default 2048x1024 @ LogN=12,
-the reference's first benchmark column). The full prove-eval wall time
-(encode + Merkle + inner products + query) is measured after a warmup run
-(jit compile cached persistently; see lumenos_tpu/jaxcfg.py).
+Robustness (the round-1 driver run timed out with no number - VERDICT
+item 1):
+  - keygen and all challenge encodes are single jitted programs (no
+    eager per-op remote compiles);
+  - the persistent XLA compile cache lives in-repo (.jax_cache/tpu,
+    committed), so even a cold container hits warm compiles;
+  - SIGTERM/SIGINT print the best-so-far JSON line before exiting, so a
+    driver timeout still yields a parsed result;
+  - a soft wall-clock budget (LUMENOS_BENCH_BUDGET, default 1500 s)
+    gates starting the next config.
+  - the decrypt spot-check vs the plaintext oracle is ON by default
+    (set LUMENOS_BENCH_NOCHECK=1 to skip).
+
+Config via env: LUMENOS_BENCH_CONFIGS="2048x1024,8192x4096" (default),
+each entry ROWSxCOLS with LogN from the reference table (README.md:61).
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 
-
-def jnp_copy(x):
-    import jax.numpy as jnp
-    return jnp.array(x, copy=True)
-
-
-# reference numbers (BASELINE.md): rows x cols -> (prove_eval_total_s,
-# commit_encode_s, merkle_s) on m7i.8xlarge, 32 vCPU
+# reference numbers (BASELINE.md): rows x cols -> (prove_eval_total_s
+# = encode + merkle + inner products + query) on m7i.8xlarge, 32 vCPU
 REFERENCE = {
     (2048, 1024): {"prove_total": 9.61 + 5.17 + 1.03, "logn": 12},
     (4096, 2048): {"prove_total": 24.17 + 12.63 + 2.04, "logn": 12},
@@ -32,14 +41,37 @@ REFERENCE = {
     (16384, 4096): {"prove_total": 255.12 + 142.73 + 18.79, "logn": 14},
 }
 
+RESULTS: dict = {}          # "ROWSxCOLS" -> per-config result dict
+_PRINTED = False
 
-def main() -> None:
-    rows = int(os.environ.get("LUMENOS_BENCH_ROWS", 2048))
-    cols = int(os.environ.get("LUMENOS_BENCH_COLS", 1024))
-    log_n = int(os.environ.get("LUMENOS_BENCH_LOGN",
-                               REFERENCE.get((rows, cols), {}).get("logn", 12)))
+
+def emit_json() -> None:
+    """Print the single driver-parsed JSON line (best-so-far)."""
+    global _PRINTED
+    if _PRINTED or not RESULTS:
+        return
+    _PRINTED = True
+    # headline = largest completed config (by rows*cols)
+    key = max(RESULTS, key=lambda k: int(k.split("x")[0]) * int(k.split("x")[1]))
+    r = RESULTS[key]
+    print(json.dumps({
+        "metric": f"homomorphic_ligero_server_prove_{key}_logN{r['logn']}",
+        "value": r["total_s"],
+        "unit": "s",
+        "vs_baseline": r["vs_baseline"],
+        "configs": RESULTS,
+    }), flush=True)
+
+
+def _sig_handler(signum, frame):
+    print(f"bench: caught signal {signum}, emitting partial results",
+          file=sys.stderr)
+    emit_json()
+    sys.exit(0 if RESULTS else 1)
+
+
+def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     rho = 2
-
     from lumenos_tpu.core.field import GOLDILOCKS_57, PrimeField
     from lumenos_tpu.core.chacha import random_matrix_row_major
     from lumenos_tpu.core.ligero_plain import LigeroCommitter
@@ -47,10 +79,10 @@ def main() -> None:
     from lumenos_tpu.core.transcript import Transcript
     from lumenos_tpu.core.ligero_plain import _powers, sample_query_indices
     from lumenos_tpu.fhe.backend import BgvBackend
-    from lumenos_tpu.fhe.ligero import ct_leaf_bytes
     from lumenos_tpu.fhe.params import generate_bgv_params_for_ntt
     from lumenos_tpu.fhe.pipeline import (
-        build_encode_pipeline_full, build_products_pipeline)
+        build_encode_pipeline_full, build_products_pipeline,
+        build_challenge_encode)
     from lumenos_tpu.fhe.hntt import min_start_level, ligero_ntt_scales
     from lumenos_tpu.fhe.bigbatch import encrypt_big_batch
 
@@ -62,14 +94,11 @@ def main() -> None:
     rng = np.random.default_rng(1)
     sk, pk = backend.keygen(rng)
     committer = LigeroCommitter(128, rows, cols, rho)
-    print(f"setup: {time.perf_counter()-t0:.1f}s "
+    print(f"[{rows}x{cols}] setup: {time.perf_counter()-t0:.1f}s "
           f"(L={params.max_level+1} limbs, N={params.n})", file=sys.stderr)
 
     start_level = min_start_level(params, cols * rho)
     prod_level = 2   # one pt-mul of headroom (DESIGN.md budget analysis)
-    print(f"start level: {start_level} ({start_level+1} limbs of "
-          f"{params.max_level+1}); products at level {prod_level}",
-          file=sys.stderr)
 
     # pre-compile EVERY device program before any large allocation exists
     # (trace/compile with a ~full chip is what OOMs at the big configs)
@@ -81,7 +110,7 @@ def main() -> None:
     # staged two-pass encode for batches whose monolithic program exceeds
     # HBM liveness (DESIGN.md section 7 / fhe/staged.py)
     staged = None
-    if ext_cols * 2 * (start_level + 1) * n * 8 > 1.5e9:  # batch bytes beyond safe monolithic liveness
+    if ext_cols * 2 * (start_level + 1) * n * 8 > 1.5e9:
         from lumenos_tpu.fhe.staged import StagedEncode
         staged = StagedEncode(backend, field, ext_cols, start_level)
     enc_chunk = staged.n1 * staged.chunk_a if staged else 512
@@ -105,7 +134,9 @@ def main() -> None:
         jax.ShapeDtypeStruct((cols, 2, prod_level + 1, n), u64),
         jax.ShapeDtypeStruct((prod_level + 1, n), u64),
         jax.ShapeDtypeStruct((prod_level + 1, n), u64)).compile()
-    print(f"precompile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    fn_chal = build_challenge_encode(backend, prod_level)
+    t_compile = time.perf_counter() - t0
+    print(f"[{rows}x{cols}] precompile: {t_compile:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     matrix = random_matrix_row_major(rows, cols, t)
@@ -132,16 +163,16 @@ def main() -> None:
         prod_ct = encrypt_big_batch(backend, np.ascontiguousarray(matrix.T),
                                     pk, rng, prod_level, chunk=1024)
         prod_ct.data.block_until_ready()
-    print(f"matrix gen + encrypt: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    print(f"[{rows}x{cols}] matrix gen + encrypt: "
+          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    # challenge plaintexts (host transcript + encode)
+    # challenge plaintexts (host transcript; device encode, one program)
     tr = Transcript("bench")
     r = np.array([x % t for x in tr.sample_uints("r", rows)], dtype=np.uint64)
     point = 7
     b = _powers(field, pow(point, cols, t), rows)
-    enc = backend.encoder
-    pt_r = backend._ntt(enc.lift_to_rns(enc.encode(r), prod_level), prod_level)
-    pt_b = backend._ntt(enc.lift_to_rns(enc.encode(b), prod_level), prod_level)
+    import jax.numpy as jnp
+    pt_r, pt_b = fn_chal(jnp.asarray(r), jnp.asarray(np.asarray(b, np.uint64)))
 
     # timed run: full server prove = device programs (encode + fused leaf
     # digests + inner products) + host tree fold + query openings
@@ -178,12 +209,12 @@ def main() -> None:
     tr.append_field("point", point)
     idxs = sample_query_indices(tr, committer.meta.queries, cols * rho)
     # open queried columns: device gather, transfer only ~queries leaves
-    import jax.numpy as jnp
     leaf_np = np.asarray(enc1[jnp.asarray(np.array(idxs))])
     paths = [tree.get_path(i) for i in idxs]
     t_query = time.perf_counter() - t2
 
-    if os.environ.get("LUMENOS_BENCH_CHECK"):
+    spot_ok = None
+    if check:
         # spot-check: a few decrypted codeword positions vs plaintext oracle
         from lumenos_tpu.core.ligero_plain import _encode_fn
         from lumenos_tpu.fhe.backend import CtBatch
@@ -194,30 +225,73 @@ def main() -> None:
         dec = np.asarray(backend.decrypt_values(sub, sk, rows))
         pt_enc = np.asarray(_encode_fn(field, rho)(
             jnp.asarray(matrix[:4, :], jnp.uint64)))  # first 4 rows encoded
-        ok = True
+        spot_ok = True
         for ci, p in enumerate(check_pos):
             sig_inv = pow(int(scales[p]), t - 2, t)
             got = [int(dec[ci, rr]) * sig_inv % t for rr in range(4)]
             exp = [int(pt_enc[rr, p]) for rr in range(4)]
             if got != exp:
-                ok = False
-        print(f"spot-check decrypt vs plaintext oracle: "
-              f"{'OK' if ok else 'MISMATCH'}", file=sys.stderr)
-        if not ok:
+                spot_ok = False
+        print(f"[{rows}x{cols}] spot-check decrypt vs plaintext oracle: "
+              f"{'OK' if spot_ok else 'MISMATCH'}", file=sys.stderr)
+        if not spot_ok:
             raise SystemExit("bench correctness spot-check failed")
 
     total = t_device + t_merkle + t_query
-    print(f"device(encode+inner): {t_device:.2f}s merkle: {t_merkle:.2f}s "
-          f"query: {t_query:.2f}s total: {total:.2f}s", file=sys.stderr)
+    print(f"[{rows}x{cols}] device(encode+inner): {t_device:.2f}s "
+          f"merkle: {t_merkle:.2f}s query: {t_query:.2f}s "
+          f"total: {total:.2f}s", file=sys.stderr)
 
     ref = REFERENCE.get((rows, cols), {}).get("prove_total")
     vs = (ref / total) if ref else 0.0
-    print(json.dumps({
-        "metric": f"homomorphic_ligero_server_prove_{rows}x{cols}_logN{log_n}",
-        "value": round(total, 3),
-        "unit": "s",
+    return {
+        "logn": log_n,
+        "total_s": round(total, 3),
+        "device_s": round(t_device, 3),
+        "merkle_s": round(t_merkle, 3),
+        "query_s": round(t_query, 3),
+        "compile_s": round(t_compile, 1),
         "vs_baseline": round(vs, 2),
-    }))
+        "spot_check": spot_ok,
+        "reference_s": ref,
+    }
+
+
+def main() -> None:
+    signal.signal(signal.SIGTERM, _sig_handler)
+    signal.signal(signal.SIGINT, _sig_handler)
+    budget = float(os.environ.get("LUMENOS_BENCH_BUDGET", 1500))
+    check = not os.environ.get("LUMENOS_BENCH_NOCHECK")
+    cfg_env = os.environ.get("LUMENOS_BENCH_CONFIGS", "2048x1024,8192x4096")
+    # legacy single-config envs still honored
+    if os.environ.get("LUMENOS_BENCH_ROWS"):
+        cfg_env = (f"{os.environ['LUMENOS_BENCH_ROWS']}x"
+                   f"{os.environ.get('LUMENOS_BENCH_COLS', 1024)}")
+    configs = []
+    for item in cfg_env.split(","):
+        rows, cols = (int(x) for x in item.strip().split("x"))
+        log_n = int(os.environ.get(
+            "LUMENOS_BENCH_LOGN",
+            REFERENCE.get((rows, cols), {}).get("logn", 12)))
+        configs.append((rows, cols, log_n))
+
+    t_start = time.perf_counter()
+    for i, (rows, cols, log_n) in enumerate(configs):
+        elapsed = time.perf_counter() - t_start
+        if i > 0 and elapsed > 0.45 * budget:
+            print(f"bench: skipping {rows}x{cols} (elapsed {elapsed:.0f}s "
+                  f"> 45% of {budget:.0f}s budget)", file=sys.stderr)
+            break
+        try:
+            RESULTS[f"{rows}x{cols}"] = run_config(rows, cols, log_n, check)
+        except SystemExit:
+            raise
+        except Exception as e:  # keep earlier results printable
+            print(f"bench: config {rows}x{cols} failed: {e!r}", file=sys.stderr)
+            if not RESULTS:
+                raise
+            break
+    emit_json()
 
 
 if __name__ == "__main__":

@@ -93,24 +93,41 @@ class BgvBackend:
 
     # -- key generation ----------------------------------------------------
 
+    @lru_cache(maxsize=2)
+    def _keygen_jit(self):
+        """One jitted program for the whole keygen computation.
+
+        Keygen previously ran eagerly: ~60 distinct op dispatches, each a
+        separate remote compile over the TPU tunnel (minutes of wall time
+        and the round-1 driver bench's 237 s "setup" cost). One program
+        compiles once and hits the persistent cache afterwards."""
+        p = self.params
+        lvl = p.max_level
+
+        def impl(s, a, e):
+            s_rns = self._signed_to_rns(s, lvl, with_p=True)
+            s_ntt = self._ntt(s_rns, lvl, with_p=True)
+            e_rns = self._signed_to_rns(e, lvl)
+            qj, uj, sj = self._consts(lvl)
+            a_s = barrett_mul(a, s_ntt[: lvl + 1], qj[:, None], uj[:, None],
+                              sj[:, None])
+            e_ntt = self._ntt(e_rns, lvl)
+            pk0 = sub_rns(jnp.zeros_like(a_s), add_rns(a_s, e_ntt, qj[:, None]),
+                          qj[:, None])
+            return s_ntt, pk0
+
+        return jax.jit(impl)
+
     def keygen(self, rng: np.random.Generator) -> tuple[SecretKey, PublicKey]:
         p = self.params
-        n_all = len(p.q_primes) + len(p.p_primes)
         s = rng.integers(-1, 2, self.n).astype(np.int8)
-        s_rns = self._signed_to_rns(s, len(p.q_primes) - 1, with_p=True)
-        s_ntt = self._ntt(s_rns, len(p.q_primes) - 1, with_p=True)
-
         lvl = p.max_level
-        q, u, su = p.limb_consts(lvl)
+        q, _, _ = p.limb_consts(lvl)
         a = np.stack([rng.integers(0, int(qi), self.n, dtype=np.uint64) for qi in q])
         e = self._sample_err(rng, (self.n,))
-        a_ntt = jnp.asarray(a)
-        e_rns = self._signed_to_rns(e, lvl)
-        qj, uj, sj = self._consts(lvl)
-        a_s = barrett_mul(a_ntt, s_ntt[: lvl + 1], qj[:, None], uj[:, None], sj[:, None])
-        e_ntt = self._ntt(e_rns, lvl)
-        pk0 = sub_rns(jnp.zeros_like(a_s), add_rns(a_s, e_ntt, qj[:, None]), qj[:, None])
-        return SecretKey(s_signed=s, s_ntt=s_ntt), PublicKey(pk0_ntt=pk0, pk1_ntt=a_ntt)
+        s_ntt, pk0 = self._keygen_jit()(
+            jnp.asarray(s, jnp.int64), jnp.asarray(a), jnp.asarray(e))
+        return SecretKey(s_signed=s, s_ntt=s_ntt), PublicKey(pk0_ntt=pk0, pk1_ntt=jnp.asarray(a))
 
     def _sample_err(self, rng: np.random.Generator, shape) -> np.ndarray:
         e = np.rint(rng.normal(0.0, SIGMA_ERR, shape)).astype(np.int64)

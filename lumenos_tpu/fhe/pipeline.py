@@ -114,6 +114,26 @@ def build_encode_pipeline_full(backend: BgvBackend, field: PrimeField,
     return _PIPE_CACHE[key]
 
 
+def build_challenge_encode(backend: BgvBackend, level: int):
+    """Jitted fn(r_vals [rows] u64, b_vals [rows] u64) -> (pt_r_ntt, pt_b_ntt)
+    [L+1, N] NTT-domain challenge plaintexts. One program instead of ~30
+    eager op dispatches (each a remote compile over the TPU tunnel)."""
+    key = ("chal", id(backend), level)
+    if key in _PIPE_CACHE:
+        return _PIPE_CACHE[key]
+    enc = backend.encoder
+
+    def pipeline(r_vals, b_vals):
+        out = []
+        for vals in (r_vals, b_vals):
+            out.append(backend._ntt(
+                enc.lift_to_rns(enc.encode(vals), level), level))
+        return tuple(out)
+
+    _PIPE_CACHE[key] = jax.jit(pipeline)
+    return _PIPE_CACHE[key]
+
+
 def build_products_pipeline(backend: BgvBackend, level: int | None = None):
     """Jitted fn(matrix_data, pt_r_ntt, pt_b_ntt) -> (matR1, matZ1) data.
     ``level``: level of the matrix ciphertexts (>= 2 for noise headroom of

@@ -16,9 +16,15 @@ jax.config.update("jax_enable_x64", True)
 # expensive (remote TPU compile); subsequent runs hit this cache.
 # Separate cache dirs per platform: remote-compiled TPU-host artifacts are
 # NOT safe to load into local CPU processes (mismatched machine features).
+# The cache lives IN THE REPO (committed) so the driver's cold bench run -
+# possibly in a fresh container with a clean /tmp - still hits it. Any
+# non-cpu platform string ("tpu", "axon", unset) maps to the same device
+# cache: they are the same physical chip behind the axon tunnel.
 _plat = os.environ.get("JAX_PLATFORMS", "tpu").split(",")[0] or "tpu"
+_plat = "cpu" if _plat == "cpu" else "tpu"
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _cache_dir = os.environ.get("LUMENOS_JAX_CACHE",
-                            f"/tmp/lumenos_jax_cache_{_plat}")
+                            os.path.join(_repo_root, ".jax_cache", _plat))
 try:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
