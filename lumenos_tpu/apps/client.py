@@ -39,6 +39,9 @@ def main(argv=None):
     ap.add_argument("--point", type=int, default=1)
     ap.add_argument("--vdec", action="store_true")
     ap.add_argument("--local-baseline", action="store_true")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="fixed RNG seed (tests/benches ONLY - keys become "
+                         "publicly reproducible; ADVICE.md round-1 medium)")
     args = ap.parse_args(argv)
 
     from ..core.field import GOLDILOCKS_57
@@ -46,7 +49,8 @@ def main(argv=None):
     params = generate_bgv_params_for_ntt(args.cols, args.logn, t)
     backend = BgvBackend(params)
     field = PrimeField(t, args.cols * args.rho)
-    rng = np.random.default_rng(12345)
+    # OS entropy by default: the secret key must not be reproducible
+    rng = np.random.default_rng(12345 if args.deterministic else None)
 
     span = start_span("Keygen + upload", None, "Keygen...")
     sk, pk = backend.keygen(rng)

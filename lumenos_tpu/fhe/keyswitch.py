@@ -332,9 +332,16 @@ class KeySwitcher:
     def inner_sum(self, ct: CtBatch, n_sum: int, keys: dict) -> CtBatch:
         """InnerSum(1, n_sum): slot i += slots i+1..i+n_sum-1 (log-depth
         rotation tree; reference fhe/ligero.go:325 via lattigo InnerSum).
-        `keys`: {galois_element: SwitchingKey} incl. row swap if n_sum = N."""
+        `keys`: {galois_element: SwitchingKey} incl. row swap if n_sum = N.
+
+        The doubling tree is only correct for power-of-two n_sum (the only
+        case the protocol uses: rows is a power of two); lattigo's general
+        ladder is not implemented, so reject other values instead of
+        silently summing the wrong slot count (ADVICE.md round-1 low)."""
         backend = self.backend
         n = self.params.n
+        if n_sum & (n_sum - 1):
+            raise ValueError(f"inner_sum requires power-of-two n_sum, got {n_sum}")
         k = 1
         while k < min(n_sum, n // 2):
             g = galois_element_rotation(k, n)

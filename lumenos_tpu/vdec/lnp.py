@@ -30,6 +30,30 @@ from ..native import load_native
 D = 64  # proof ring degree (reference vdec_params.h: d = 64)
 
 
+def rejection_accept(z: np.ndarray, cv: np.ndarray, sigma: float, M: float,
+                     seed: bytes) -> bool:
+    """Source-hiding rejection decision (Lyubashevsky 2012, Fig. 4.5).
+
+    z = y + cv with y ~ D_sigma; accept with probability
+    min(1, D_sigma(z) / (M * D_{cv,sigma}(z)))
+        = min(1, exp((-2<z,cv> + |cv|^2) / (2 sigma^2)) / M),
+    which makes the accepted-z distribution exactly D_sigma/M-independent
+    of the secret cv. The decision randomness comes from the PRIVATE seed
+    (never the shared transcript). Counterpart of the reference's
+    rejection step (vdec/c/src/vdec.c:420-520); the bimodal variant
+    halves M but needs the +-c symmetric verification equation - the
+    plain variant here is leak-free at M ~= rej_m repetitions.
+    """
+    zf = z.astype(np.float64).ravel()
+    cf = cv.astype(np.float64).ravel()
+    expo = (-2.0 * float(zf @ cf) + float(cf @ cf)) / (2.0 * sigma * sigma)
+    # cap to avoid overflow; p > 1 means always accept
+    p = 1.0 if expo > 40 else float(np.exp(expo)) / M
+    u_bytes = hashlib.sha3_256(b"rej" + seed).digest()[:8]
+    u = int.from_bytes(u_bytes, "little") / float(1 << 64)
+    return u < p
+
+
 def _find_primes(bits: int, count: int) -> tuple[int, ...]:
     out = []
     p = (1 << bits) + 1
@@ -205,9 +229,15 @@ class Abdlop:
         return h.digest()
 
     def prove_opening(self, com: AbdlopCommitment, s1, s2,
-                      mask_seed: bytes, max_tries: int = 64) -> OpeningProof:
+                      mask_seed: bytes | None = None,
+                      max_tries: int = 64) -> OpeningProof:
+        """mask_seed: PRIVATE prover entropy (None = OS CSPRNG). Must never
+        be transcript-derived (ZK break - see PodProver.prove)."""
+        import secrets as _secrets
         ring = self.ring
         p = ring.params
+        if mask_seed is None:
+            mask_seed = _secrets.token_bytes(32)
         for attempt in range(max_tries):
             seed_a = mask_seed + attempt.to_bytes(2, "little")
             y1 = ring.sample_gauss(seed_a, 200, p.sigma1, self.m1)
@@ -218,10 +248,13 @@ class Abdlop:
             c = ring.challenge(ch)
             z1 = ring.mask_add(y1, c, s1)
             z2 = ring.mask_add(y2, c, s2)
-            # rejection: accept with the bimodal-style bound on z norms
+            # source-hiding rejection + verifier norm bounds
             bound1 = p.sigma1 * np.sqrt(2.0 * self.m1 * D)
             bound2 = p.sigma2 * np.sqrt(2.0 * p.m2 * D)
-            if (np.linalg.norm(z1.astype(np.float64)) <= bound1
+            if (rejection_accept(z1, z1 - y1, p.sigma1, p.rej_m, seed_a + b"r1")
+                    and rejection_accept(z2, z2 - y2, p.sigma2, p.rej_m,
+                                         seed_a + b"r2")
+                    and np.linalg.norm(z1.astype(np.float64)) <= bound1
                     and np.linalg.norm(z2.astype(np.float64)) <= bound2):
                 return OpeningProof(w=w, z1=z1, z2=z2, challenge_hash=ch)
         raise RuntimeError("rejection sampling failed to accept")

@@ -35,12 +35,13 @@ ternary challenges (weight omega), bimodal-style rejection sampling on z.
 from __future__ import annotations
 
 import hashlib
+import secrets
 from dataclasses import dataclass
 
 import numpy as np
 
 from ..core.tracer import Span, start_span
-from .lnp import Abdlop, AbdlopCommitment, D, LnpParams, LnpRing
+from .lnp import Abdlop, AbdlopCommitment, D, LnpParams, LnpRing, rejection_accept
 
 
 def chunk_big_poly(coeffs: np.ndarray, n_big: int) -> np.ndarray:
@@ -179,9 +180,20 @@ class PodProver:
             h.update(np.array2string(arr, threshold=10**9).encode())
         return h.digest()
 
-    def prove(self, seed: bytes = b"pod", ctx: Span | None = None) -> PodProof:
+    def prove(self, seed: bytes | None = None,
+              ctx: Span | None = None) -> PodProof:
+        """Produce the PoD proof.
+
+        ``seed``: PRIVATE prover entropy for masks/commitment randomness.
+        None (production) draws from the OS CSPRNG; passing a value makes
+        the proof deterministic FOR TESTS ONLY - the seed must never be
+        derivable from the public transcript (a transcript-derived seed
+        lets anyone recompute y1 and solve c*w = z1 - y1 for the witness,
+        a complete ZK break; ADVICE.md round-1 high finding)."""
         ring = self.ring
         p = self.params
+        if seed is None:
+            seed = secrets.token_bytes(32)
         w = np.concatenate([c for c in self.w_chunks]).astype(object)
         w_i64 = w.astype(np.int64)
 
@@ -203,14 +215,28 @@ class PodProver:
                 c = ring.challenge(ch)
                 z1 = ring.mask_add(y1, c, w_i64)
                 z2 = ring.mask_add(y2, c, s2)
-                b1 = p.sigma1 * np.sqrt(2.0 * self.m1 * D)
-                b2 = p.sigma2 * np.sqrt(2.0 * p.m2 * D)
-                if (np.linalg.norm(z1.astype(np.float64)) <= b1
-                        and np.linalg.norm(z2.astype(np.float64)) <= b2):
+                # source-hiding rejection sampling (Lyu12): the accept
+                # decision makes the z distribution independent of c*w,
+                # so repeated proofs leak nothing about the witness
+                # (replaces the round-1 norm cutoff; ADVICE.md medium).
+                if (rejection_accept(z1, z1 - y1, p.sigma1, p.rej_m,
+                                     sd + b"r1")
+                        and rejection_accept(z2, z2 - y2, p.sigma2, p.rej_m,
+                                             sd + b"r2")
+                        and self._norm_ok(z1, z2)):
                     return PodProof(commitment=com, w_mask=w_mask,
                                     f_eval=f_eval, z1=z1, z2=z2,
                                     challenge_hash=ch)
             raise RuntimeError("rejection sampling failed")
+
+    def _norm_ok(self, z1, z2) -> bool:
+        """Verifier-side norm bounds (also enforced at proving time so an
+        accepted proof always verifies)."""
+        p = self.params
+        b1 = p.sigma1 * np.sqrt(2.0 * self.m1 * D)
+        b2 = p.sigma2 * np.sqrt(2.0 * p.m2 * D)
+        return (np.linalg.norm(z1.astype(np.float64)) <= b1
+                and np.linalg.norm(z2.astype(np.float64)) <= b2)
 
     def _lift_big(self, arr_int: np.ndarray) -> np.ndarray:
         """[rows, D] Python ints (mod q_pf) -> CRT residues [rows, L, D]."""

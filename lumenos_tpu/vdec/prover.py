@@ -183,7 +183,11 @@ def prove_and_verify_pod(backend, queried_cols, queried_values, queried_scales,
     from .pod import PodProver
     prover = PodProver(st)
     with start_span("Proof generation", ctx):
-        proof = prover.prove(transcript.challenge_bytes(b"pod_seed", 32))
+        # mask/commitment entropy comes from the prover's private CSPRNG
+        # (PodProver.prove default), NOT the shared transcript - a public
+        # seed lets anyone recompute y1 and recover the witness from
+        # c*w = z1 - y1 (ADVICE.md round-1 high finding).
+        proof = prover.prove()
     if not prover.verify(proof):
         raise RuntimeError("generated PoD proof is not valid")
     return st, proof
