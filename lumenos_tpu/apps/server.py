@@ -29,11 +29,13 @@ from .wire import deserialize_keys
 
 
 class PpdState:
-    def __init__(self, rows: int, cols: int, rho: int, bench_mode: bool):
+    def __init__(self, rows: int, cols: int, rho: int, bench_mode: bool,
+                 deterministic: bool = False):
         self.rows = rows
         self.cols = cols
         self.rho = rho
         self.bench_mode = bench_mode
+        self.deterministic = deterministic
         self.backend: BgvBackend | None = None
         self.pk = None
         self.field: PrimeField | None = None
@@ -72,7 +74,9 @@ def make_handler(state: PpdState):
 
             backend, field = state.backend, state.field
             rows, cols, rho = state.rows, state.cols, state.rho
-            rng = np.random.default_rng(2)
+            # OS entropy unless --deterministic (encryption randomness must
+            # not be publicly reproducible; ADVICE.md round-1 medium)
+            rng = np.random.default_rng(2 if state.deterministic else None)
 
             span = start_span("Prove FHE evaluation", None,
                               "Prove FHE evaluation...")
@@ -104,9 +108,12 @@ def main(argv=None):
     ap.add_argument("--cols", type=int, default=128)
     ap.add_argument("--rho", type=int, default=2)
     ap.add_argument("--bench-mode", action="store_true")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="fixed RNG seed (tests/benches ONLY)")
     args = ap.parse_args(argv)
 
-    state = PpdState(args.rows, args.cols, args.rho, args.bench_mode)
+    state = PpdState(args.rows, args.cols, args.rho, args.bench_mode,
+                     args.deterministic)
     httpd = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(state))
     print(f"[server] listening :{args.port} rows={args.rows} cols={args.cols}",
           flush=True)
