@@ -136,6 +136,7 @@ def _apply_base(ctx: _HNttCtx, size: int) -> None:
     n = ctx.n_total
     g = n // size
     t = ctx.t
+    rec = getattr(ctx, "layers", None) is not None  # hsched._RecordCtx
     view = None if ctx.x is None else ctx.x.reshape((g, size) + ctx.x.shape[1:])
     scales = ctx.scales.reshape(g, size)
     for op in _base_schedule(size, ctx.field):
@@ -155,6 +156,9 @@ def _apply_base(ctx: _HNttCtx, size: int) -> None:
                     scales[gi, vi[kk]] = s_new
             if view is not None:
                 view = ctx.butterfly(view, ui, vi, alphas, betas)
+            if rec:
+                ctx.record_layer(ctx.pos.reshape(g, size), None, g, size,
+                                 ui, vi, alphas, betas)
         elif kind == "tw":
             _, pos, ws = op
             for p, w in zip(pos, ws):
@@ -166,6 +170,9 @@ def _apply_base(ctx: _HNttCtx, size: int) -> None:
             if view is not None:
                 view = view[:, np.array(perm)]
             scales[:, :] = scales[:, perm]
+            if rec:
+                pv = ctx.pos.reshape(g, size)
+                pv[:, :] = pv[:, np.array(perm)]
     if view is not None:
         ctx.x = view.reshape((n,) + ctx.x.shape[1:])
     ctx.scales = scales.reshape(n)
@@ -187,6 +194,9 @@ def _hntt_inner(ctx: _HNttCtx, size: int) -> None:
         if ctx.x is not None:
             ctx.x = ctx.x.reshape((g, r, c) + tail).swapaxes(1, 2).reshape((n,) + tail)
         ctx.scales = ctx.scales.reshape(g, r, c).swapaxes(1, 2).reshape(n)
+        if getattr(ctx, "layers", None) is not None:
+            ctx.pos = np.ascontiguousarray(
+                ctx.pos.reshape(g, r, c).swapaxes(1, 2)).reshape(n)
 
     transpose(n1, n2)
     _hntt_inner(ctx, n1)

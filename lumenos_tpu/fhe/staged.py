@@ -15,6 +15,12 @@ TOP level into orchestrated chunked device calls with bounded liveness:
   finalize: cells -> reference flat order j*n1 + i, fused striped leaf
       digests on device.
 
+Both stages execute RECORDED butterfly schedules (fhe/hsched.py): the
+pairing/gather structure is compiled once, and the per-row equalization
+cofactors enter stage B as array INPUTS - so there is exactly ONE stage-B
+program regardless of row count (round 1 compiled one program per row
+chunk, ~20 min of tracing at the 8192 config).
+
 Everything stays chunked (lists of arrays); the only full-size arrays are
 the mid-level buffer (~5 GB) and the level-1 output (~2 GB). Peak ~12 GB
 at the 8192x4096 config.
@@ -36,6 +42,8 @@ from ..core.ntt import sqrt_factor, twiddle_matrix
 from ..ops.sha256_jax import sha256_leaves_striped
 from .backend import BgvBackend, CtBatch
 from .hntt import _HNttCtx, _hntt_inner, ligero_ntt_scales
+from .hsched import apply_schedule, apply_schedule_full, record_schedule, \
+    unit_schedule
 
 _CACHE: dict = {}
 
@@ -43,35 +51,39 @@ _CACHE: dict = {}
 def _stage_a_fn(backend, field, n1: int, cw: int, level: int, mid_level: int):
     key = ("A", id(backend), field.modulus, field.n, n1, cw, level, mid_level)
     if key not in _CACHE:
+        sched = unit_schedule(field, n1, cw * n1)
+        q, _, _ = backend.params.limb_consts(level)
+        res = sched.residues([int(x) for x in q])
+
         def impl(chunk):  # [n1, cw, 2, L, N] -> [n1, cw, 2, Lm, N]
             c = jnp.swapaxes(chunk, 0, 1)               # [cw, n1, ...]
             flat = c.reshape((cw * n1,) + c.shape[2:])
-            ctx = _HNttCtx(backend, CtBatch(data=flat, level=level), field)
-            _hntt_inner(ctx, n1)
-            out = backend.rescale_to(CtBatch(data=ctx.x, level=level), mid_level)
+            out = apply_schedule_full(flat, sched, res, q)
+            out = backend.rescale_to(
+                CtBatch(data=out, level=level), mid_level)
             o = out.data.reshape((cw, n1) + out.data.shape[1:])
             return jnp.swapaxes(o, 0, 1)
         _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
     return _CACHE[key]
 
 
-def _stage_b_fn(backend, field, n2: int, rows_scales: tuple, mid_level: int):
-    """rows_scales: tuple of per-row initial-scale tuples (bakes cofactors)."""
-    key = ("B", id(backend), field.modulus, field.n, n2, mid_level,
-           hash(rows_scales))
+def _stage_b_fn(backend, field, n2: int, cw: int, mid_level: int):
+    """ONE compiled program for every row chunk: per-row cofactor residues
+    are inputs (w/ws [cw, nl, n2, L]), the pairing is a shared constant."""
+    key = ("B", id(backend), field.modulus, field.n, n2, cw, mid_level)
     if key not in _CACHE:
-        cw = len(rows_scales)
+        sched = unit_schedule(field, n2, n2)   # pairing is scale-independent
+        fpos = np.asarray(sched.final_pos)
+        q, _, _ = backend.params.limb_consts(mid_level)
 
-        def impl(chunk):  # [cw, n2, 2, Lm, N] -> [cw, n2, 2, 2, N]
-            rows = []
-            for r in range(cw):
-                ctx = _HNttCtx(backend,
-                               CtBatch(data=chunk[r], level=mid_level), field)
-                ctx.scales = np.array(list(rows_scales[r]), dtype=object)
-                _hntt_inner(ctx, n2)
-                rows.append(backend.rescale_to(
-                    CtBatch(data=ctx.x, level=mid_level), 1).data)
-            return jnp.stack(rows)
+        def row(xr, w, ws):  # [n2, 2, Lm, N]
+            out = apply_schedule(xr, sched, w, ws, q)
+            out = out[fpos]
+            return backend.rescale_to(
+                CtBatch(data=out, level=mid_level), 1).data
+
+        def impl(chunk, w, ws):
+            return jax.vmap(row)(chunk, w, ws)
         _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
     return _CACHE[key]
 
@@ -116,15 +128,22 @@ class StagedEncode:
             for j in range(1, self.n2):
                 sc[i, j] = int(sc[i, j]) * pow(int(tw[i, j]) % t, t - 2, t) % t
         self.sc_mid = sc
-        # final scales: evolve each row through the size-n2 transform
+        # per-row stage-B schedules: identical pairing, per-row cofactors
+        q_mid, _, _ = backend.params.limb_consts(self.mid)
+        primes_mid = [int(x) for x in q_mid]
         final = np.empty((self.n1, self.n2), dtype=object)
+        self._row_res = []          # per row: (wa, wsa, wb, wsb)
         for i in range(self.n1):
-            ctx = _HNttCtx(None, None, field, n=self.n2)
-            ctx.scales = sc[i].copy()
-            _hntt_inner(ctx, self.n2)
-            final[i] = ctx.scales
+            sr = record_schedule(field, self.n2, init_scales=sc[i])
+            self._row_res.append(sr.residues(primes_mid))
+            final[i] = sr.final_scales
         # reference flat order: position p = j*n1 + i
         self.final_scales = np.array(final.T.reshape(-1).tolist(), dtype=object)
+
+    def _row_chunk_res(self, i0: int, cw: int):
+        """Stacked cofactor inputs for rows i0..i0+cw-1: 2 x [cw, nl, n2, L]."""
+        return tuple(np.stack([self._row_res[i0 + r][k] for r in range(cw)])
+                     for k in range(2))
 
     # -- compile everything with dummy shapes (no big buffers live) --------
 
@@ -137,16 +156,29 @@ class StagedEncode:
         _stage_a_fn(self.backend, self.field, self.n1, self.chunk_a,
                     self.level, self.mid).lower(
             _jax.ShapeDtypeStruct((self.n1, self.chunk_a, 2, L, n), u64)).compile()
-        for i0 in range(0, self.n1, self.chunk_b):
-            cw = min(self.chunk_b, self.n1 - i0)
-            rs = tuple(tuple(int(x) for x in self.sc_mid[i0 + r])
-                       for r in range(cw))
-            _stage_b_fn(self.backend, self.field, self.n2, rs, self.mid).lower(
-                _jax.ShapeDtypeStruct((cw, self.n2, 2, Lm, n), u64)).compile()
+        cw = self.chunk_b
+        nl = unit_schedule(self.field, self.n2, self.n2).n_layers
+        wshape = _jax.ShapeDtypeStruct((cw, nl, self.n2, Lm), u64)
+        _stage_b_fn(self.backend, self.field, self.n2, cw, self.mid).lower(
+            _jax.ShapeDtypeStruct((cw, self.n2, 2, Lm, n), u64),
+            wshape, wshape).compile()
         _finalize_fn(self.size, n).lower(
             _jax.ShapeDtypeStruct((self.n1, self.n2, 2, 2, n), u64)).compile()
 
     # -- execution ---------------------------------------------------------
+
+    def _run_stage_b(self, small):
+        """[n1, n2, 2, Lm, N] mid buffer -> [n1, n2, 2, 2, N] cells."""
+        outs = []
+        for i0 in range(0, self.n1, self.chunk_b):
+            cw = min(self.chunk_b, self.n1 - i0)
+            fb = _stage_b_fn(self.backend, self.field, self.n2, cw, self.mid)
+            ob = fb(small[i0:i0 + cw], *self._row_chunk_res(i0, cw))
+            ob.block_until_ready()
+            outs.append(ob)
+        cells = jnp.concatenate(outs, axis=0)
+        cells.block_until_ready()
+        return cells
 
     def run_streaming(self, make_chunk, n_chunks: int):
         """Memory-minimal execution: obtain each stage-A input chunk
@@ -177,19 +209,8 @@ class StagedEncode:
             t_dev += _time.perf_counter() - t0
             del chunk, out
         t0 = _time.perf_counter()
-        outs = []
-        for i0 in range(0, self.n1, self.chunk_b):
-            cw = min(self.chunk_b, self.n1 - i0)
-            rs = tuple(tuple(int(x) for x in self.sc_mid[i0 + r])
-                       for r in range(cw))
-            fb = _stage_b_fn(backend, self.field, self.n2, rs, self.mid)
-            ob = fb(small[i0:i0 + cw])
-            ob.block_until_ready()
-            outs.append(ob)
+        cells = self._run_stage_b(small)
         del small
-        cells = jnp.concatenate(outs, axis=0)
-        cells.block_until_ready()
-        del outs
         flat, digests = _finalize_fn(self.size, backend.n)(cells)
         flat.block_until_ready()
         t_dev += _time.perf_counter() - t0
@@ -213,19 +234,7 @@ class StagedEncode:
         small = jnp.concatenate(mids, axis=1)   # [n1, n2, 2, Lm, N]
         small.block_until_ready()
         del mids
-
-        outs = []
-        for i0 in range(0, self.n1, self.chunk_b):
-            cw = min(self.chunk_b, self.n1 - i0)
-            rs = tuple(tuple(int(x) for x in self.sc_mid[i0 + r])
-                       for r in range(cw))
-            fb = _stage_b_fn(backend, self.field, self.n2, rs, self.mid)
-            ob = fb(small[i0:i0 + cw])
-            ob.block_until_ready()
-            outs.append(ob)
+        cells = self._run_stage_b(small)
         del small
-        cells = jnp.concatenate(outs, axis=0)   # [n1, n2, 2, 2, N]
-        cells.block_until_ready()
-        del outs
         flat, digests = _finalize_fn(self.size, backend.n)(cells)
         return CtBatch(data=flat, level=1), digests, self.final_scales
