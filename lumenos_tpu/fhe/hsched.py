@@ -6,21 +6,23 @@ staged stage-B row chunk) produced a distinct traced/compiled program -
 minutes of retracing at the big configs (round-1 VERDICT weak #6).
 
 This module records the transform ONCE into a dense, data-independent
-schedule. Each layer l executes, over the position axis (physical layout):
+schedule in NEVER-MOVING physical coordinates: data stays in its original
+slot through all layers; reshape/transpose/swap permutations are folded
+into the pair indices and one trailing gather. Layer l executes:
 
-    y      = x * w[l]                (one Shoup mulmod per position:
-                                      w = alpha at u-slots, beta at v-slots,
-                                      1 at untouched slots)
-    out[p] = y[pa[l,p]] +- (msk & y[pb[l,p]])
+    y      = x * w[l]          (one Shoup mulmod per position: w = alpha at
+                                u-slots, beta at v-slots, 1 elsewhere)
+    out[p] = s[l,p] * y[p] + y[partner[l,p]]
 
-where pa/pb fold the butterfly pairing AND every interleaved reshape/
-transpose permutation into static gathers, the +- sign realizes the
-butterfly's (u+v, u-v) outputs, and msk zeroes the second term for
-untouched positions. One multiply per position per layer - the same count
-as the paired (alpha*U +- beta*V) form - plus two static gathers.
+with s in {+1, 0, -1} (u-slot, untouched, v-slot) and partner[p] = p for
+untouched slots - exactly the butterfly (alpha*U + beta*V, alpha*U - beta*V)
+with one multiply per position. Crucially, partner[p] = p XOR d with at
+most TWO distinct d per layer (the physical coordinates recover the classic
+bit-indexed CT structure), so the gather is a static block-swap - the form
+a Pallas TPU kernel wants (ops/pallas_hntt.py).
 
-The pairing is scale-independent, so ONE jitted executor serves every
-initial-scale vector: cofactor residues enter as arrays, not constants.
+The pairing is scale-independent: cofactor residues enter the jitted
+executor as arrays, so ONE program serves every initial-scale vector.
 Equivalent by construction to hntt.homomorphic_ligero_ntt (differentially
 tested in tests/test_hsched.py); reference analogue: fhe/ntt.go:20-279.
 """
@@ -37,7 +39,7 @@ import jax.numpy as jnp
 
 from ..core.field import PrimeField
 from .hntt import _HNttCtx, _hntt_inner
-from .ring import shoup_mul, add_rns, sub_rns
+from .ring import shoup_mul, add_rns
 
 
 @dataclass
@@ -46,21 +48,30 @@ class HnttSchedule:
 
     size: int                 # transform size (applied per contiguous group)
     n: int                    # total positions = groups * size
-    w_vals: np.ndarray        # [nl, n] object: per-PHYSICAL-slot multiplier
-    pa: np.ndarray            # [nl, n] int32 gather indices (first term)
-    pb: np.ndarray            # [nl, n] int32 gather indices (second term)
-    sgn: np.ndarray           # [nl, n] bool: True -> subtract second term
-    msk: np.ndarray           # [nl, n] bool: False -> drop second term
-    final_pos: np.ndarray     # [n] trailing permutation (gather indices)
+    w_vals: np.ndarray        # [nl, n] object: per-physical-slot multiplier
+    partner: np.ndarray       # [nl, n] int32: butterfly partner (self if idle)
+    s_pos: np.ndarray         # [nl, n] bool: +y[p] term (u-slots)
+    s_neg: np.ndarray         # [nl, n] bool: -y[p] term (v-slots)
+    final_pos: np.ndarray     # [n] trailing gather: out[i] = x[final_pos[i]]
     final_scales: np.ndarray  # [n] object (public output scales)
 
     @property
     def n_layers(self) -> int:
-        return self.pa.shape[0]
+        return self.partner.shape[0]
+
+    def xor_classes(self) -> list[tuple[int, ...]]:
+        """Per layer, the distinct nonzero XOR distances p ^ partner[p]
+        (at most 2 - see module docstring)."""
+        out = []
+        idx = np.arange(self.n, dtype=np.int64)
+        for l in range(self.n_layers):
+            d = idx ^ self.partner[l]
+            out.append(tuple(sorted(set(int(v) for v in d[d != 0]))))
+        return out
 
     def residues(self, primes) -> tuple[np.ndarray, np.ndarray]:
         """Multiplier per-limb residues in Shoup form: (w, ws) [nl, n, L]."""
-        nl, n = self.pa.shape
+        nl, n = self.partner.shape
         L = len(primes)
         w = np.zeros((nl, n, L), np.uint64)
         ws = np.zeros((nl, n, L), np.uint64)
@@ -73,7 +84,7 @@ class HnttSchedule:
 
 
 class _RecordCtx(_HNttCtx):
-    """Scales-only context that additionally records dense layers."""
+    """Scales-only context that records physical-coordinate layers."""
 
     def __init__(self, field: PrimeField, n: int):
         super().__init__(None, None, field, n=n)
@@ -83,29 +94,22 @@ class _RecordCtx(_HNttCtx):
     def record_layer(self, pos_view, scales_shape, g, size, ui, vi,
                      alphas, betas) -> None:
         n = self.n_total
-        pos = self.pos
         w_vals = np.ones(n, dtype=object)
-        pa = pos.astype(np.int32).copy()       # untouched: permuted identity
-        pb = pos.astype(np.int32).copy()
-        sgn = np.zeros(n, dtype=bool)
-        msk = np.zeros(n, dtype=bool)
+        partner = np.arange(n, dtype=np.int32)
+        s_pos = np.zeros(n, dtype=bool)
+        s_neg = np.zeros(n, dtype=bool)
         for gi in range(g):
             for kk in range(len(ui)):
-                u_log = gi * size + ui[kk]
-                v_log = gi * size + vi[kk]
                 u_phys = int(pos_view[gi, ui[kk]])
                 v_phys = int(pos_view[gi, vi[kk]])
                 w_vals[u_phys] = alphas[gi, kk]
                 w_vals[v_phys] = betas[gi, kk]
-                pa[u_log] = u_phys
-                pb[u_log] = v_phys
-                msk[u_log] = True
-                pa[v_log] = u_phys
-                pb[v_log] = v_phys
-                sgn[v_log] = True
-                msk[v_log] = True
-        self.layers.append((w_vals, pa, pb, sgn, msk))
-        self.pos = np.arange(n, dtype=np.int64)  # executor re-linearizes
+                partner[u_phys] = v_phys
+                partner[v_phys] = u_phys
+                s_pos[u_phys] = True
+                s_neg[v_phys] = True
+        self.layers.append((w_vals, partner, s_pos, s_neg))
+        # data never moves: self.pos keeps accumulating permutations
 
 
 def record_schedule(field: PrimeField, size: int, n: int | None = None,
@@ -126,10 +130,9 @@ def record_schedule(field: PrimeField, size: int, n: int | None = None,
         w_vals[l] = ctx.layers[l][0]
     return HnttSchedule(
         size=size, n=n_tot, w_vals=w_vals,
-        pa=np.stack([l[1] for l in ctx.layers]),
-        pb=np.stack([l[2] for l in ctx.layers]),
-        sgn=np.stack([l[3] for l in ctx.layers]),
-        msk=np.stack([l[4] for l in ctx.layers]),
+        partner=np.stack([l[1] for l in ctx.layers]),
+        s_pos=np.stack([l[2] for l in ctx.layers]),
+        s_neg=np.stack([l[3] for l in ctx.layers]),
         final_pos=ctx.pos.copy(),
         final_scales=ctx.scales.copy())
 
@@ -139,22 +142,22 @@ def apply_schedule(x, sched: HnttSchedule, w, ws, q: np.ndarray):
 
     x: [n, 2, L, N] u64; w/ws: [nl, n, L] u64 cofactor residues (traced
     inputs - one compiled program serves every cofactor set); q: [L].
-    Returns x WITHOUT the trailing permutation (see apply_schedule_full).
+    Returns x in PHYSICAL layout (apply_schedule_full adds the trailing
+    permutation).
     """
     nl = sched.n_layers
     qb = jnp.asarray(np.asarray(q), jnp.uint64).reshape((-1, 1))
-    full = jnp.asarray(np.uint64(0xFFFFFFFFFFFFFFFF))
     zero = jnp.asarray(np.uint64(0))
+    bsl = (slice(None), None, None, None)           # [n,1,1,1] broadcast
     for l in range(nl):
         sl = (slice(None), None, slice(None), None)  # [n,1,L,1] broadcast
         y = shoup_mul(x, jnp.asarray(w[l])[sl], jnp.asarray(ws[l])[sl], qb)
-        ya = y[sched.pa[l]]
-        yb = y[sched.pb[l]]
-        mask = jnp.where(jnp.asarray(sched.msk[l])[sl[:1] + (None, None, None)],
-                         full, zero)
-        yb = yb & mask
-        s = jnp.asarray(sched.sgn[l])[:, None, None, None]
-        x = jnp.where(s, sub_rns(ya, yb, qb), add_rns(ya, yb, qb))
+        part = y[sched.partner[l]]
+        pos_m = jnp.asarray(sched.s_pos[l])[bsl]
+        neg_m = jnp.asarray(sched.s_neg[l])[bsl]
+        neg_y = jnp.where(y == zero, zero, qb - y)
+        term = jnp.where(pos_m, y, jnp.where(neg_m, neg_y, zero))
+        x = add_rns(part, term, qb)
     return x
 
 

@@ -1,0 +1,371 @@
+"""Security-parameter calibration for the LNP proof system.
+
+Python port of the reference's Sage generator
+(/root/reference/vdec/c/scripts/vdec_params_generator.sage:6-406 +
+codegen.sage helpers): given the statement shape (ring degree d, proof
+modulus size, witness lengths and norms), derive
+
+  - lambda (soundness-boosting repetitions) and l_ext,
+  - the MLWE rank  k_mlwe  (zero-knowledge / simulatability),
+  - the MSIS rank  k_msis  (binding) and randomness length m2,
+  - rejection-sampling stdevs sigma1/sigma2(/sigma4) of the samplable
+    form 1.55 * 2^k and their repetition rates M1/M2(/M4),
+  - the exact NTT-friendly modulus q (= q1 or q1*q2, each = 2L+1 mod 4L
+    so X^d+1 splits into exactly L=2 irreducible factors -> the
+    challenge-difference invertibility bound q1^(-d/L) applies),
+  - compression constants gamma / D (dcompress),
+  - verifier norm bounds (B, Bz4) and the knowledge error.
+
+Hardness estimates:
+
+  MSIS (binding):  root Hermite factor  delta = 2^(log2(beta)^2 /
+      (4 n d log2 q))  — identical to the reference's get_delta_msis
+      (codegen.sage:231-236).
+  MLWE (hiding):   the lattice-distinguishing estimate
+      delta = 2^(log2(q/sigma_s)^2 / (4 n d log2 q)),  sigma_s =
+      sqrt(((2 nu+1)^2 - 1)/12).  The reference calls the full
+      Albrecht-Player-Scott estimator over {usvp, dec, dual} x
+      {enum, sieve} and takes the max delta; on the reference inputs
+      (nu=1, n*d=2752, q~2^68) this closed form gives 1.00433 vs the
+      estimator's 1.004348, and it reproduces the reference's chosen
+      rank k_mlwe = 43 exactly (see tests/test_params_gen.py).
+
+Both must stay below DELTA128 = 1.0044 (root Hermite factor for 128-bit
+security; KAPPA=100 is the statistical security of the proof itself,
+matching the reference's choices at vdec_params_generator.sage:63-66).
+
+The generated `params1` set (reference vdec_params.h) is reproduced
+bit-for-bit as a regression test; `calibrate()` is also used to derive
+the parameters of our module-embedding PoD (vdec/pod.py) from its actual
+witness dimensions and norms instead of round-1's invented constants.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import mpmath as mp
+from mpmath import mpf
+
+from ..core.field import _is_prime
+
+KAPPA = 100          # bit security of the proof system (statistical)
+DELTA128 = 1.0044    # root Hermite factor threshold for 128-bit lattices
+L_SPLIT = 2          # X^d+1 splits into L=2 factors mod each prime
+T_TAIL = 1.64        # gaussian tail factor for Bz4 (KAPPA=128 table)
+NADDS = 128          # CRT-domain head-room for this many additions
+
+mp.mp.prec = 512
+
+
+# ---------------------------------------------------------------------------
+# hardness estimates (codegen.sage:214-243)
+
+def get_delta_msis(beta: float, n: int, d: int, q: int) -> mpf:
+    """Root Hermite factor for finding s != 0, |s|_2 <= beta, A s = 0."""
+    log2q = mp.log(q, 2)
+    log2beta = mp.log(mpf(beta), 2)
+    return mpf(2) ** (log2beta ** 2 / (mpf(4 * n * d) * log2q))
+
+
+def get_delta_mlwe(nu: int, n: int, d: int, q: int) -> mpf:
+    """Root Hermite factor for distinguishing (A, As+e) with s,e uniform
+    in [-nu, nu] (lattice-distinguishing closed form; module docstring)."""
+    sigma = mp.sqrt(mpf((2 * nu + 1) ** 2 - 1) / 12)
+    log2q = mp.log(q, 2)
+    log2ratio = mp.log(mpf(q) / sigma, 2)
+    return mpf(2) ** (log2ratio ** 2 / (mpf(4 * n * d) * log2q))
+
+
+# ---------------------------------------------------------------------------
+# rejection-sampling rates (codegen.sage:246-266)
+
+def std_gamma2M(gamma: mpf) -> mpf:
+    """Repetition rate of standard rejection sampling at stdev gamma*T."""
+    x = mp.sqrt(mpf(2 * (KAPPA + 1)) / mp.log(mp.e, 2))
+    return mp.exp(x / gamma + 1 / (2 * gamma ** 2))
+
+
+def bim_gamma2M(gamma: mpf) -> mpf:
+    """Repetition rate of bimodal rejection sampling."""
+    return mp.exp(mpf(1) / (2 * gamma ** 2))
+
+
+def round_stdev(stdev: mpf) -> mpf:
+    """Round to the samplable form 1.55 * 2^k (codegen.sage:270-278)."""
+    log2stdev = mp.log(stdev / mpf(1.55), 2)
+    lo = mpf(1.55) * 2 ** mp.floor(log2stdev)
+    hi = mpf(1.55) * 2 ** mp.ceil(log2stdev)
+    return lo if stdev - lo <= hi - stdev else hi
+
+
+# ---------------------------------------------------------------------------
+# modulus / CRT selection (codegen.sage:79-110)
+
+def find_split_prime(lower: int, l_split: int = L_SPLIT) -> int:
+    """Smallest prime >= lower with p = 2L+1 (mod 4L)."""
+    step = 4 * l_split
+    p = (lower + step - 1) // step * step + 2 * l_split + 1
+    if p - step >= lower:
+        p -= step
+    while not _is_prime(p):
+        p += step
+    return p
+
+
+def moduli_list(nbit: int, d: int, prodmin: int) -> list[int]:
+    """Decreasing NTT-friendly primes (= 1 mod 2d) of <= nbit bits whose
+    product exceeds prodmin (codegen.sage:79-103)."""
+    out: list[int] = []
+    prod = 1
+    cand = (2 ** nbit - 2) // (2 * d) * (2 * d) + 1
+    while prod < prodmin:
+        assert cand > 2, "not enough primes"
+        if _is_prime(cand):
+            out.append(cand)
+            prod *= cand
+        cand -= 2 * d
+    return out
+
+
+def min_P(d: int, q: int, nadds: int = NADDS) -> int:
+    """Minimum CRT lift modulus so nadds ring products never wrap."""
+    return (q - 1) ** 2 * d * nadds + 1
+
+
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CalibratedParams:
+    """Everything vdec_params.h carries, derived not invented."""
+
+    # ring
+    d: int
+    q: int                      # exact modulus (q1 or q1*q2)
+    q1: int                     # smallest prime factor (soundness base)
+    log2q: int
+    moduli: tuple[int, ...]     # CRT NTT primes for implementation
+    # dimensions
+    m1: int                     # committed witness length (input)
+    l: int                      # unbounded message length (input)
+    lmbda: int                  # soundness repetitions (even)
+    lext: int                   # lmbda/2 + 1
+    k_mlwe: int                 # MLWE rank (hiding)
+    k_msis: int                 # MSIS rank (binding)
+    m2: int                     # randomness length = k_mlwe+k_msis+l+lmbda/2+1
+    nu: int                     # randomness coeff bound
+    # challenge space
+    omega: int
+    eta: int
+    csize_log2: int
+    # stdevs (samplable 1.55*2^k form) + repetition rates
+    stdev1: float
+    stdev2: float
+    stdev4: float               # 0.0 when no approximate proof
+    M1: float
+    M2: float
+    M4: float
+    # compression
+    gamma: int
+    big_d: int                  # D: dropped low bits of t_A
+    # bounds
+    bound_b: float              # B  (extracted MSIS solution scale)
+    bound_bz4: int              # Bz4 (approximate-proof l2^2 bound)
+    # security summary
+    delta_msis: float
+    delta_mlwe: float
+    knowledge_error_log2: float
+
+    def security_summary(self) -> str:
+        return (f"MSIS(k={self.k_msis}) delta={self.delta_msis:.6f}, "
+                f"MLWE(k={self.k_mlwe}) delta={self.delta_mlwe:.6f} "
+                f"(threshold {DELTA128}), knowledge error <= "
+                f"2^{self.knowledge_error_log2:.1f}")
+
+
+def calibrate(
+    log2q: int,
+    d: int,
+    m1: int,
+    alpha: float,
+    l: int,
+    *,
+    log2q1: int | None = None,
+    gamma1: float = 10.0,
+    gamma2: float = 10.0,
+    gamma4: float = 5.0,
+    nu: int = 1,
+    b_prime: float = 0.0,       # approx-proof linf bound (0 = disabled)
+    noise_dim: int = 0,         # approx-proof witness dimension
+    nbit_moduli: int = 50,
+) -> CalibratedParams:
+    """Derive a full parameter set (vdec_params_generator.sage:6-406).
+
+    log2q: target modulus bits; d: ring degree; m1: length of the
+    bounded witness s1 (in ring elements); alpha: l2 bound on s1;
+    l: unbounded-message length; b_prime/noise_dim: the approximate
+    (R*u) proof shape when used.
+    """
+    if d == 64:
+        omega, eta, csize_log2 = 8, 140, 129
+    elif d == 128:
+        omega, eta, csize_log2 = 2, 59, 147
+    else:
+        raise ValueError("challenge space undefined for d not in {64, 128}")
+
+    n_div = 2 if (log2q1 is not None and log2q1 < log2q) else 1
+    if log2q1 is None:
+        log2q1 = log2q
+
+    lmbda = 2 * int(mp.ceil(mpf(KAPPA) / (2 * log2q1)))
+    lext = lmbda // 2 + 1
+
+    # stdev1 from the witness norm (rounded to samplable form)
+    alpha = mpf(alpha)
+    stdev1 = round_stdev(mpf(gamma1) * eta * alpha)
+    gamma1_eff = stdev1 / (eta * alpha)
+    stdev4 = mpf(0)
+    gamma4_eff = mpf(gamma4)
+    if b_prime > 0:
+        stdev4 = round_stdev(mpf(gamma4) * mp.sqrt(337) * mpf(b_prime)
+                             * mp.sqrt(noise_dim))
+        # the reference's recompute intentionally drops sqrt(noise_dim):
+        # the effective bimodal gamma absorbs it, giving M4 ~ 1
+        # (vdec_params_generator.sage:148-149)
+        gamma4_eff = stdev4 / (mp.sqrt(337) * mpf(b_prime))
+
+    q_approx = 2 ** log2q
+
+    # MLWE rank: binary search for the smallest hard rank
+    easy, hard = 0, 64
+    while get_delta_mlwe(nu, hard, d, q_approx) > DELTA128:
+        easy = hard
+        hard *= 2
+    while hard != easy + 1:
+        mid = (easy + hard) // 2
+        if get_delta_mlwe(nu, mid, d, q_approx) <= DELTA128:
+            hard = mid
+        else:
+            easy = mid
+    k_mlwe = hard
+
+    # MSIS rank + stdev2 (mutually dependent -> grow k_msis until hard)
+    def _bounds(k_msis: int, stdev2: mpf, gamma: mpf, big_d: int):
+        b_ = (stdev2 * mp.sqrt(2 * m2 * d)
+              + mpf(eta) * 2 ** (big_d - 1) * mp.sqrt(k_msis * d)
+              + gamma * mp.sqrt(k_msis * d) / 2)
+        b1 = 2 * stdev1 * mp.sqrt(2 * m1 * d)
+        b2 = 2 * b_
+        return b_, 4 * mpf(eta) * mp.sqrt(b1 ** 2 + b2 ** 2)
+
+    k_msis = 0
+    stdev2 = mpf(0)
+    while True:
+        k_msis += 1
+        m2 = k_mlwe + k_msis + l + lmbda // 2 + 1
+        stdev2 = round_stdev(mpf(gamma2) * eta * nu * mp.sqrt(m2 * d))
+        _, bound = _bounds(k_msis, stdev2, mpf(0), 0)
+        if (get_delta_msis(bound, k_msis, d, q_approx) < DELTA128
+                and bound < q_approx):
+            break
+
+    # largest gamma keeping the MSIS solution small
+    gamma = mpf(q_approx)
+    while True:
+        gamma /= 2
+        _, bound = _bounds(k_msis, stdev2, gamma, 0)
+        if (get_delta_msis(bound, k_msis, d, q_approx) < DELTA128
+                and bound < q_approx):
+            break
+
+    # exact q (q1 [* q2], each = 2L+1 mod 4L) advancing to the next prime
+    # until q-1 has an even divisor in (4/5*gamma, gamma] — the reference
+    # couples modulus and compression selection this way
+    # (vdec_params_generator.sage:215-240)
+    gamma_target = gamma
+    gamma_exact = 0
+    step = 4 * L_SPLIT
+    q1 = find_split_prime(2 ** log2q1)
+    while gamma_exact == 0:
+        if n_div == 1:
+            q = q1
+        else:
+            q2 = find_split_prime((2 ** log2q) // q1 + 1)
+            q = q1 * q2
+        for dv in _divisors(q - 1):
+            if gamma_target * mpf(4) / 5 < dv <= gamma_target and dv % 2 == 0:
+                gamma_exact = dv
+                break
+        else:
+            q1 = find_split_prime(q1 + step)
+
+    # largest D keeping the MSIS solution small
+    big_d = log2q
+    while True:
+        big_d -= 1
+        _, bound = _bounds(k_msis, stdev2, mpf(gamma_exact), big_d)
+        if (get_delta_msis(bound, k_msis, d, q) < DELTA128
+                and bound < 2 ** log2q
+                and 2 ** (big_d - 1) * omega * d < gamma_exact):
+            break
+
+    b_, bound = _bounds(k_msis, stdev2, mpf(gamma_exact), big_d)
+    delta_msis = get_delta_msis(bound, k_msis, d, q)
+    delta_mlwe = get_delta_mlwe(nu, k_mlwe, d, q)
+
+    m1_rate = std_gamma2M(gamma1_eff)
+    m2_rate = std_gamma2M(stdev2 / (mpf(eta) * nu * mp.sqrt(m2 * d)))
+    m4_rate = bim_gamma2M(gamma4_eff) if b_prime > 0 else mpf(1)
+
+    bz4 = int(mp.floor((mpf(T_TAIL) * stdev4 * mp.sqrt(256)) ** 2)) \
+        if b_prime > 0 else 0
+
+    # completeness + simulatability sanity (sage:285-299)
+    if not (m1 * d >= 5 * KAPPA and m2 * d >= 5 * KAPPA):
+        raise ValueError("protocol not statistically complete at these dims")
+    assert k_mlwe == m2 - k_msis - l - lmbda // 2 - 1
+
+    eknow = mpf(2) / mpf(2) ** csize_log2 + mpf(q1) ** (-d // L_SPLIT) \
+        + mpf(q1) ** (-lmbda)
+    moduli = tuple(moduli_list(nbit_moduli, d, min_P(d, q)))
+
+    return CalibratedParams(
+        d=d, q=q, q1=q1, log2q=log2q, moduli=moduli,
+        m1=m1, l=l, lmbda=lmbda, lext=lext,
+        k_mlwe=k_mlwe, k_msis=k_msis, m2=m2, nu=nu,
+        omega=omega, eta=eta, csize_log2=csize_log2,
+        stdev1=float(stdev1), stdev2=float(stdev2), stdev4=float(stdev4),
+        M1=float(m1_rate), M2=float(m2_rate), M4=float(m4_rate),
+        gamma=int(gamma_exact), big_d=big_d,
+        bound_b=float(b_), bound_bz4=bz4,
+        delta_msis=float(delta_msis), delta_mlwe=float(delta_mlwe),
+        knowledge_error_log2=float(mp.ceil(mp.log(eknow, 2))))
+
+
+def _divisors(n: int) -> list[int]:
+    """Sorted divisors of n (n has only small factors here: q-1 with q an
+    NTT/split-friendly prime is smooth enough to trial-divide)."""
+    factors: dict[int, int] = {}
+    m = n
+    p = 2
+    while p * p <= m:
+        while m % p == 0:
+            factors[p] = factors.get(p, 0) + 1
+            m //= p
+        p += 1 if p == 2 else 2
+        if p > 10 ** 7:   # give up on huge factors; treat rest as prime
+            break
+    if m > 1:
+        factors[m] = factors.get(m, 0) + 1
+    divs = [1]
+    for prime, mult in factors.items():
+        divs = [dvs * prime ** e for dvs in divs for e in range(mult + 1)]
+    return sorted(divs)
+
+
+def reference_params() -> CalibratedParams:
+    """The reference's params1 inputs (vdec_params.sage): log2q=68, d=64,
+    m1=48, alpha=1, l=5, approximate proof with Bprime=2^15 over
+    noise_dim=12288*64."""
+    return calibrate(68, 64, 48, 1.0, 5, b_prime=float(2 ** 15),
+                     noise_dim=12288 * 64)

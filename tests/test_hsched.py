@@ -62,10 +62,13 @@ def test_schedule_with_initial_scales():
 
     sched = record_schedule(field, size, init_scales=init)
     u = unit_schedule(field, size, size)
-    assert np.array_equal(sched.pa, u.pa)            # pairing scale-free
-    assert np.array_equal(sched.pb, u.pb)
-    assert np.array_equal(sched.sgn, u.sgn)
+    assert np.array_equal(sched.partner, u.partner)  # pairing scale-free
+    assert np.array_equal(sched.s_pos, u.s_pos)
+    assert np.array_equal(sched.s_neg, u.s_neg)
     assert np.array_equal(sched.final_pos, u.final_pos)
+    # the physical pairing is a <=2-distance XOR structure per layer
+    for ds in u.xor_classes():
+        assert len(ds) <= 2
 
     q, _, _ = params.limb_consts(lvl)
     res = sched.residues([int(x) for x in q])
