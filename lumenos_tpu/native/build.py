@@ -63,6 +63,29 @@ def load_native() -> ctypes.CDLL | None:
             lib.abdlop_norm2.restype = ctypes.c_double
             lib.abdlop_norm_inf.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
             lib.abdlop_norm_inf.restype = ctypes.c_int64
+            lib.lnp_auto.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_uint64]
+            lib.lnp_auto_signed.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_uint64]
+            lib.lnp_quad_challenge.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                               ctypes.c_int, ctypes.c_void_p]
+            lib.lnp_expand_R_row.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                             ctypes.c_uint64, ctypes.c_void_p,
+                                             ctypes.c_uint64]
+            lib.lnp_project.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_void_p, ctypes.c_uint64,
+                                        ctypes.c_void_p]
+            lib.lnp_vR.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                   ctypes.c_void_p, ctypes.c_int,
+                                   ctypes.c_void_p, ctypes.c_uint64,
+                                   ctypes.c_void_p]
+            lib.pod_big_conv.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                         ctypes.c_uint32] + \
+                [ctypes.c_void_p] * 3
+            lib.pod_statement_noise.argtypes = [
+                ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint32] + \
+                [ctypes.c_void_p] * 9
             _handle = lib
             return lib
         except Exception:

@@ -1,10 +1,22 @@
 // Proof-system ring algebra for the LNP proof-of-decryption.
 //
 // Counterpart of the lazer subset the reference links against (SURVEY.md
-// C6): arithmetic over R = Z_q[X]/(X^64+1) with q a product of NTT-friendly
-// ~50-bit primes (CRT limbs), negacyclic NTT per limb, polynomial
-// vectors/matrices, SHAKE-128 (challenge expansion), and samplers
-// (uniform, ternary, discrete gaussian, bimodal rejection).
+// C6): arithmetic over R = Z_q[X]/(X^64+1) with q a product of ~50-bit
+// primes (CRT limbs), polynomial vectors/matrices, SHAKE-128 (challenge
+// expansion), and samplers (uniform, ternary, discrete gaussian, bimodal
+// rejection).
+//
+// Two kinds of limb primes are supported:
+//   - NTT-friendly (q = 1 mod 2D): negacyclic NTT per limb (fast path);
+//   - split-friendly (q = 2L+1 mod 4L, L=2, i.e. q = 5 mod 8): X^D+1 has
+//     exactly two irreducible factors mod q, which is what the
+//     short-challenge-difference invertibility lemma (Lyubashevsky-Seiler
+//     2018) needs for knowledge extraction; multiplication falls back to
+//     schoolbook negacyclic (D=64 -> 4096 mulmods, microseconds).
+// The reference's ring modulus is a single split-friendly prime
+// (vdec_params.h: q = 2^68+445 = 5 mod 8) with NTT-friendly CRT moduli
+// used only as an implementation device inside lazer; here each limb IS a
+// ring-modulus factor, so limbs must be split-friendly for soundness.
 //
 // Dimension-generic where lazer is codegen-specialized; the LNP quad-eval
 // layer builds on these primitives.
@@ -43,6 +55,7 @@ u64 powm(u64 b, u64 e, u64 q) {
 
 struct Limb {
   u64 q;
+  bool has_ntt;        // q = 1 mod 2D: fast NTT path available
   u64 psi_rev[D];      // bit-reversed psi powers (CT tables)
   u64 ipsi_rev[D];
   u64 d_inv;
@@ -98,6 +111,8 @@ u64 primitive_root(u64 q) {
 
 void limb_init(Limb& L, u64 q) {
   L.q = q;
+  L.has_ntt = ((q - 1) % (2 * D) == 0);
+  if (!L.has_ntt) return;  // schoolbook path; no tables needed
   u64 g = primitive_root(q);
   u64 psi = powm(g, (q - 1) / (2 * D), q);
   u64 ipsi = powm(psi, q - 2, q);
@@ -138,6 +153,22 @@ void ntt_inv(const Limb& L, u64* a) {
     }
   }
   for (int j = 0; j < D; j++) a[j] = mulm(a[j], L.d_inv, L.q);
+}
+
+// schoolbook negacyclic product mod q (split-friendly limbs); out != a, b.
+// Positive and wrapped halves accumulate separately: each is a sum of at
+// most D products < 2^100, so < 2^106 fits u128 without folding.
+void negacyclic_mul(u64 q, const u64* a, const u64* b, u64* out) {
+  u128 lo[D] = {}, hi[D] = {};
+  for (int i = 0; i < D; i++) {
+    u64 ai = a[i];
+    if (!ai) continue;
+    int j = 0;
+    for (; j < D - i; j++) lo[i + j] += (u128)ai * b[j];
+    for (; j < D; j++) hi[i + j - D] += (u128)ai * b[j];
+  }
+  for (int k = 0; k < D; k++)
+    out[k] = subm((u64)(lo[k] % q), (u64)(hi[k] % q), q);
 }
 
 // ---- SHAKE-128 ------------------------------------------------------------
@@ -285,6 +316,11 @@ void lnp_polyvec_mul(LnpRing* r, const u64* a, const u64* b, u64* out,
   for (u64 p = 0; p < n_polys; p++) {
     for (int l = 0; l < L; l++) {
       const Limb& Lm = r->limbs[l];
+      if (!Lm.has_ntt) {
+        negacyclic_mul(Lm.q, a + (p * L + l) * D, b + (p * L + l) * D,
+                       out + (p * L + l) * D);
+        continue;
+      }
       memcpy(ta.data(), a + (p * L + l) * D, D * 8);
       memcpy(tb.data(), b + (p * L + l) * D, D * 8);
       ntt_fwd(Lm, ta.data());
@@ -301,23 +337,53 @@ void lnp_polymat_mul_vec(LnpRing* r, const u64* mat, const u64* vec, u64* out,
                          u64 rows, u64 cols) {
   int L = (int)r->limbs.size();
   std::vector<std::vector<u64>> vec_ntt(cols * L, std::vector<u64>(D));
-  for (u64 c = 0; c < cols; c++)
-    for (int l = 0; l < L; l++) {
-      memcpy(vec_ntt[c * L + l].data(), vec + (c * L + l) * D, D * 8);
-      ntt_fwd(r->limbs[l], vec_ntt[c * L + l].data());
-    }
-  std::vector<u64> tmp(D), acc(D);
+  bool all_ntt = true;
+  for (int l = 0; l < L; l++) all_ntt = all_ntt && r->limbs[l].has_ntt;
+  if (all_ntt)
+    for (u64 c = 0; c < cols; c++)
+      for (int l = 0; l < L; l++) {
+        memcpy(vec_ntt[c * L + l].data(), vec + (c * L + l) * D, D * 8);
+        ntt_fwd(r->limbs[l], vec_ntt[c * L + l].data());
+      }
+#pragma omp parallel for schedule(static) collapse(2)
   for (u64 i = 0; i < rows; i++) {
     for (int l = 0; l < L; l++) {
       const Limb& Lm = r->limbs[l];
-      std::fill(acc.begin(), acc.end(), 0);
-      for (u64 c = 0; c < cols; c++) {
-        memcpy(tmp.data(), mat + ((i * cols + c) * L + l) * D, D * 8);
-        ntt_fwd(Lm, tmp.data());
-        for (int j = 0; j < D; j++)
-          acc[j] = addm(acc[j], mulm(tmp[j], vec_ntt[c * L + l][j], Lm.q), Lm.q);
+      std::vector<u64> tmp(D), acc(D, 0);
+      if (Lm.has_ntt) {
+        for (u64 c = 0; c < cols; c++) {
+          memcpy(tmp.data(), mat + ((i * cols + c) * L + l) * D, D * 8);
+          ntt_fwd(Lm, tmp.data());
+          for (int j = 0; j < D; j++)
+            acc[j] = addm(acc[j], mulm(tmp[j], vec_ntt[c * L + l][j], Lm.q),
+                          Lm.q);
+        }
+        ntt_inv(Lm, acc.data());
+      } else {
+        // schoolbook row: accumulate lo/hi halves across the whole row
+        // before a single reduction (cols*D products < 2^100 each; fold
+        // every FOLD_COLS columns to stay below 2^128)
+        u128 lo[D] = {}, hi[D] = {};
+        const u64 kFold = ((u64)1 << 27);  // 2^106 per product sum cap
+        u64 since = 0;
+        for (u64 c = 0; c < cols; c++) {
+          const u64* ap = mat + ((i * cols + c) * L + l) * D;
+          const u64* bp = vec + (c * L + l) * D;
+          for (int ii = 0; ii < D; ii++) {
+            u64 ai = ap[ii];
+            if (!ai) continue;
+            int j = 0;
+            for (; j < D - ii; j++) lo[ii + j] += (u128)ai * bp[j];
+            for (; j < D; j++) hi[ii + j - D] += (u128)ai * bp[j];
+          }
+          if (++since == kFold) {
+            for (int k = 0; k < D; k++) { lo[k] %= Lm.q; hi[k] %= Lm.q; }
+            since = 0;
+          }
+        }
+        for (int k = 0; k < D; k++)
+          acc[k] = subm((u64)(lo[k] % Lm.q), (u64)(hi[k] % Lm.q), Lm.q);
       }
-      ntt_inv(Lm, acc.data());
       memcpy(out + (i * L + l) * D, acc.data(), D * 8);
     }
   }
@@ -393,6 +459,317 @@ void lnp_shake128(const uint8_t* data, int len, uint8_t* out, int outlen) {
   xof.absorb(data, (size_t)len);
   xof.finalize();
   xof.squeeze(out, (size_t)outlen);
+}
+
+// ---- quad-eval layer support (reference vdec.c:420-864) -------------------
+
+// sigma automorphism X -> X^{-1} on residue vectors [n, L, D]:
+// coeff 0 fixed, coeff j -> -(coeff at D-j).
+void lnp_auto(const u64* primes, int L, const u64* in, u64* out, u64 n_polys) {
+  for (u64 p = 0; p < n_polys; p++)
+    for (int l = 0; l < L; l++) {
+      u64 q = primes[l];
+      const u64* a = in + (p * L + l) * D;
+      u64* o = out + (p * L + l) * D;
+      o[0] = a[0];
+      for (int j = 1; j < D; j++) o[j] = a[D - j] ? q - a[D - j] : 0;
+    }
+}
+
+// sigma on signed coefficient vectors [n, D]
+void lnp_auto_signed(const i64* in, i64* out, u64 n_polys) {
+  for (u64 p = 0; p < n_polys; p++) {
+    const i64* a = in + p * D;
+    i64* o = out + p * D;
+    o[0] = a[0];
+    for (int j = 1; j < D; j++) o[j] = -a[D - j];
+  }
+}
+
+// sigma-invariant challenge (lazer's quad-eval space, vdec_params.h header
+// comment "c uniform in [-omega,omega], o(c)=c"): free coefficients are
+// c_0 and c_i for 1 <= i < D/2, with c_{D-i} = -c_i (so sigma(c) = c under
+// X^{-i} = -X^{D-i}) and c_{D/2} = 0. Each free coefficient uniform in
+// [-omega, omega] from the transcript hash.
+void lnp_quad_challenge(const uint8_t* hash, int hash_len, int omega,
+                        i64* c_out) {
+  Shake128 xof;
+  xof.absorb(hash, (size_t)hash_len);
+  uint8_t dom[4] = {'q', 'c', 'h', 0};
+  xof.absorb(dom, 4);
+  xof.finalize();
+  memset(c_out, 0, D * sizeof(i64));
+  u64 span = (u64)(2 * omega + 1);
+  c_out[0] = (i64)shake_uniform(xof, span) - omega;
+  for (int i = 1; i < D / 2; i++) {
+    i64 v = (i64)shake_uniform(xof, span) - omega;
+    c_out[i] = v;
+    c_out[D - i] = -v;
+  }
+}
+
+// {0,+-1} projection-row expansion, lazer brandom distribution: two bits
+// per entry, value = b0 - b1 (P(0)=1/2, P(+-1)=1/4). Row i of R.
+void lnp_expand_R_row(const uint8_t* seed, int seed_len, u64 row, int8_t* out,
+                      u64 dim) {
+  Shake128 xof;
+  xof.absorb(seed, (size_t)seed_len);
+  uint8_t dom[12] = {'R', 'o', 'w', 0};
+  memcpy(dom + 4, &row, 8);
+  xof.absorb(dom, 12);
+  xof.finalize();
+  u64 nbytes = (dim + 3) / 4;
+  std::vector<uint8_t> buf(nbytes);
+  xof.squeeze(buf.data(), nbytes);
+  for (u64 j = 0; j < dim; j++) {
+    uint8_t b = (buf[j >> 2] >> ((j & 3) * 2)) & 3;
+    out[j] = (int8_t)((b & 1) - ((b >> 1) & 1));
+  }
+}
+
+// z = R * x for signed x [dim] -> [256] (projection of the witness
+// coefficient vector; values stay far below 2^63)
+void lnp_project(const uint8_t* seed, int seed_len, const i64* x, u64 dim,
+                 i64* z_out) {
+  std::vector<int8_t> row(dim);
+#pragma omp parallel for schedule(static) firstprivate(row)
+  for (int i = 0; i < 256; i++) {
+    lnp_expand_R_row(seed, seed_len, (u64)i, row.data(), dim);
+    i64 acc = 0;
+    for (u64 j = 0; j < dim; j++) {
+      int8_t r = row[j];
+      if (r) acc += r > 0 ? x[j] : -x[j];
+    }
+    z_out[i] = acc;
+  }
+}
+
+// vR = V * R over Z_q residues: V [256] residues per limb (challenge
+// row k), R expanded from seed; out [dim] residues per limb.
+// V values enter as centered magnitudes mod each limb.
+void lnp_vR(const u64* primes, int L, const uint8_t* seed, int seed_len,
+            const u64* v_res, u64 dim, u64* out) {
+  // out[l*dim + j] = sum_i V[i] * R[i,j] mod q_l
+  std::vector<int8_t> row(dim);
+  std::vector<u64> acc((size_t)L * dim, 0);
+  for (int i = 0; i < 256; i++) {
+    lnp_expand_R_row(seed, seed_len, (u64)i, row.data(), dim);
+    for (int l = 0; l < L; l++) {
+      u64 q = primes[l];
+      u64 vi = v_res[(u64)i * L + l];
+      if (!vi) continue;
+      u64 nvi = q - vi;
+      u64* al = acc.data() + (size_t)l * dim;
+      for (u64 j = 0; j < dim; j++) {
+        int8_t r = row[j];
+        if (r) al[j] = addm(al[j], r > 0 ? vi : nvi, q);
+      }
+    }
+  }
+  memcpy(out, acc.data(), (size_t)L * dim * 8);
+}
+
+// ---- big-ring helpers for the PoD statement (reference vdec.c:266-334) ----
+
+// negacyclic convolution of length n (power of two) mod an NTT prime
+// p = 1 mod 2n using on-the-fly tables. Scratch-based; exact.
+struct BigNtt {
+  u64 q;
+  std::vector<u64> psi_rev, ipsi_rev;
+  u64 n_inv;
+  unsigned n;
+};
+
+void big_ntt_init(BigNtt& B, u64 q, unsigned n) {
+  B.q = q;
+  B.n = n;
+  B.psi_rev.resize(n);
+  B.ipsi_rev.resize(n);
+  u64 g = primitive_root(q);
+  u64 psi = powm(g, (q - 1) / (2 * n), q);
+  u64 ipsi = powm(psi, q - 2, q);
+  int bits = __builtin_ctz(n);
+  B.psi_rev[0] = B.ipsi_rev[0] = 1;
+  u64 p = 1, ip = 1;
+  for (unsigned j = 1; j < n; j++) {
+    p = mulm(p, psi, q);
+    ip = mulm(ip, ipsi, q);
+    unsigned r = 0, x = j;
+    for (int b = 0; b < bits; b++) { r = (r << 1) | (x & 1); x >>= 1; }
+    B.psi_rev[r] = p;
+    B.ipsi_rev[r] = ip;
+  }
+  B.n_inv = powm(n, q - 2, q);
+}
+
+void big_ntt_fwd(const BigNtt& B, u64* a) {
+  unsigned n = B.n;
+  for (unsigned m = 1, t = n / 2; m < n; m <<= 1, t >>= 1)
+    for (unsigned i = 0; i < m; i++) {
+      u64 w = B.psi_rev[m + i];
+      for (unsigned j = 2 * i * t; j < 2 * i * t + t; j++) {
+        u64 u = a[j], v = mulm(a[j + t], w, B.q);
+        a[j] = addm(u, v, B.q);
+        a[j + t] = subm(u, v, B.q);
+      }
+    }
+}
+
+void big_ntt_inv(const BigNtt& B, u64* a) {
+  unsigned n = B.n;
+  for (unsigned m = n / 2, t = 1; m >= 1; m >>= 1, t <<= 1)
+    for (unsigned i = 0; i < m; i++) {
+      u64 w = B.ipsi_rev[m + i];
+      for (unsigned j = 2 * i * t; j < 2 * i * t + t; j++) {
+        u64 u = a[j], v = a[j + t];
+        a[j] = addm(u, v, B.q);
+        a[j + t] = mulm(subm(u, v, B.q), w, B.q);
+      }
+    }
+  for (unsigned j = 0; j < n; j++) a[j] = mulm(a[j], B.n_inv, B.q);
+}
+
+// auxiliary NTT primes = 1 mod 2n for n up to 2^15, ~50 bits: found once
+u64 find_aux_prime(unsigned n, u64 below) {
+  u64 step = 2ull * n;
+  u64 cand = (below - 2) / step * step + 1;
+  while (!is_prime(cand)) cand -= step;
+  return cand;
+}
+
+}  // extern "C"
+
+namespace {
+// negacyclic convolution of length n of residues mod target prime p
+// (NOT NTT-friendly): lift to 3 auxiliary NTT primes (exact integer
+// coefficients < n * p^2 < 2^112 < product of aux primes), CRT/Garner
+// reconstruct mod p. Inputs/outputs in [0, p).
+struct BigConv {
+  unsigned n;
+  u64 aux[3];
+  BigNtt B[3];
+  u64 inv_p0_mod_p1, inv_p01_mod_p2;  // Garner constants
+  BigConv(unsigned n_) : n(n_) {
+    u64 below = (u64)1 << 50;
+    for (int i = 0; i < 3; i++) {
+      aux[i] = find_aux_prime(n, below);
+      below = aux[i] - 1;
+      big_ntt_init(B[i], aux[i], n);
+    }
+    inv_p0_mod_p1 = powm(aux[0] % aux[1], aux[1] - 2, aux[1]);
+    u64 p01 = mulm(aux[0] % aux[2], aux[1] % aux[2], aux[2]);
+    inv_p01_mod_p2 = powm(p01, aux[2] - 2, aux[2]);
+  }
+
+  // out = a (*) b mod p, all length n in [0, p); centered lift first so
+  // the integer convolution magnitude stays below n * (p/2)^2 * 2
+  void run(u64 p, const u64* a, const u64* b, u64* out) const {
+    std::vector<u64> ta(n), tb(n);
+    std::vector<u64> res[3];
+    u64 half = p / 2;
+    for (int i = 0; i < 3; i++) {
+      u64 q = aux[i];
+      res[i].resize(n);
+      for (unsigned j = 0; j < n; j++) {
+        // center mod p then reduce mod aux: keeps coefficients minimal
+        u64 av = a[j], bv = b[j];
+        ta[j] = av > half ? subm(av % q, p % q, q) : av % q;
+        tb[j] = bv > half ? subm(bv % q, p % q, q) : bv % q;
+      }
+      big_ntt_fwd(B[i], ta.data());
+      big_ntt_fwd(B[i], tb.data());
+      for (unsigned j = 0; j < n; j++) ta[j] = mulm(ta[j], tb[j], q);
+      big_ntt_inv(B[i], ta.data());
+      res[i] = ta;
+    }
+    // Garner: x = v0 + p0*(v1 + p1*v2)  (mixed radix), reduce mod p.
+    // Center: if x > P/2 subtract P.  P = p0*p1*p2 ~ 2^150 -> use the
+    // mixed-radix digits directly mod p with u128 arithmetic.
+    u64 p0 = aux[0], p1 = aux[1], p2 = aux[2];
+    u64 p0_mod_p = p0 % p, p01_mod_p = (u64)(((u128)p0_mod_p * (p1 % p)) % p);
+    // P mod p and P/2 test via digits: x > P/2 iff v2 > p2/2 (approx;
+    // exact enough since digits distribute) - do the exact centered
+    // compare via long arithmetic on (v2, v1, v0)
+    u64 P_mod_p = (u64)(((u128)p01_mod_p * (p2 % p)) % p);
+    for (unsigned j = 0; j < n; j++) {
+      u64 v0 = res[0][j];
+      u64 v1 = (u64)(((u128)subm(res[1][j], v0 % p1, p1) * inv_p0_mod_p1) % p1);
+      // t = v0 + p0*v1 mod p2
+      u64 t_mod_p2 = (u64)(((u128)v1 * (p0 % p2) + v0) % p2);
+      u64 v2 = (u64)(((u128)subm(res[2][j], t_mod_p2, p2) * inv_p01_mod_p2)
+                     % p2);
+      // x = v0 + p0*v1 + p0*p1*v2; center by comparing v2 against p2/2
+      // (the top mixed-radix digit dominates: x > P/2 <=> v2 > ~p2/2;
+      // boundary cases shift the representative by +-P which is 0 mod p
+      // AFTER the correction below, so correctness only needs SOME
+      // centered representative - any lift congruent mod P works)
+      u64 x_mod_p = (u64)(((u128)v0 + (u128)p0_mod_p * (v1 % p)
+                           + (u128)p01_mod_p * (v2 % p)) % p);
+      if (v2 > p2 / 2) x_mod_p = subm(x_mod_p, P_mod_p, p);
+      out[j] = x_mod_p;
+    }
+  }
+};
+}  // namespace
+
+extern "C" {
+
+// cached BigConv instances per length
+static std::vector<std::pair<unsigned, BigConv*>> g_convs;
+
+static BigConv* get_conv(unsigned n) {
+  for (auto& kv : g_convs)
+    if (kv.first == n) return kv.second;
+  auto* c = new BigConv(n);
+  g_convs.push_back({n, c});
+  return c;
+}
+
+// big negacyclic product mod each of L primes: a, b, out are [L, n]
+void pod_big_conv(const u64* primes, int L, unsigned n, const u64* a,
+                  const u64* b, u64* out) {
+  BigConv* c = get_conv(n);
+#pragma omp parallel for schedule(static)
+  for (int l = 0; l < L; l++)
+    c->run(primes[l], a + (size_t)l * n, b + (size_t)l * n,
+           out + (size_t)l * n);
+}
+
+// PoD statement noise: e = ct0 + ct1 (*) s - dm  (mod Q1, centered),
+// with s ternary (i8) and Q1 < 2^128 passed as two u64 halves.
+// ct0/ct1/dm enter as centered i128 split into (hi: i64, lo: u64) pairs
+// [n]; e leaves the same way. The ternary convolution is exact signed
+// 128-bit accumulation (|sum| <= n * Q1/2 < 2^126).
+void pod_statement_noise(u64 q_lo, u64 q_hi, unsigned n, const i64* ct0_hi,
+                         const u64* ct0_lo, const i64* ct1_hi,
+                         const u64* ct1_lo, const i64* dm_hi,
+                         const u64* dm_lo, const int8_t* s, i64* e_hi,
+                         u64* e_lo) {
+  using i128 = __int128_t;
+  u128 Q = ((u128)q_hi << 64) | q_lo;
+  std::vector<i128> ct1v(n), acc(n);
+  for (unsigned i = 0; i < n; i++)
+    ct1v[i] = ((i128)ct1_hi[i] << 64) | ct1_lo[i];
+#pragma omp parallel for schedule(static)
+  for (unsigned k = 0; k < n; k++) {
+    i128 a = 0;
+    // e_k = sum_{i+j=k} ct1_i s_j - sum_{i+j=k+n} ct1_i s_j
+    for (unsigned j = 0; j < n; j++) {
+      int8_t sj = s[j];
+      if (!sj) continue;
+      i128 c = (k >= j) ? ct1v[k - j] : -ct1v[n + k - j];
+      a += sj > 0 ? c : -c;
+    }
+    a += ((i128)ct0_hi[k] << 64) | ct0_lo[k];
+    a -= ((i128)dm_hi[k] << 64) | dm_lo[k];
+    // reduce to centered representative mod Q
+    i128 sq = (i128)Q;
+    a %= sq;
+    if (a > sq / 2) a -= sq;
+    if (a < -(sq / 2)) a += sq;
+    e_hi[k] = (i64)(a >> 64);
+    e_lo[k] = (u64)(a & ~0ull);
+  }
 }
 
 }  // extern "C"
