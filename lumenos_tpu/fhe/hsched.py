@@ -168,6 +168,32 @@ def apply_schedule_full(x, sched: HnttSchedule, residues, q: np.ndarray):
     return out[np.asarray(sched.final_pos)]
 
 
+def _pallas_ok(sched: HnttSchedule, n_coeffs: int) -> bool:
+    """Fused TPU kernel applicability (ops/pallas_hsched.py)."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return False
+    return (sched.size % 8 == 0 and n_coeffs % 128 == 0
+            and sched.n % sched.size == 0)
+
+
+def apply_schedule_auto(x, sched: HnttSchedule, w, ws, q: np.ndarray):
+    """apply_schedule, via the fused Pallas kernel on TPU when the shapes
+    satisfy Mosaic's alignment rules (bit-identical either way —
+    tests/test_pallas_hsched.py)."""
+    if _pallas_ok(sched, x.shape[-1]):
+        from ..ops.pallas_hsched import apply_schedule_pallas
+        return apply_schedule_pallas(x, sched, w, ws, q)
+    return apply_schedule(x, sched, w, ws, q)
+
+
+def apply_schedule_full_auto(x, sched: HnttSchedule, residues,
+                             q: np.ndarray):
+    w, ws = residues
+    out = apply_schedule_auto(x, sched, w, ws, q)
+    return out[np.asarray(sched.final_pos)]
+
+
 @lru_cache(maxsize=8)
 def _unit_schedule(modulus: int, field_n: int, size: int, n: int):
     from ..core.field import get_field

@@ -42,8 +42,8 @@ from ..core.ntt import sqrt_factor, twiddle_matrix
 from ..ops.sha256_jax import sha256_leaves_striped
 from .backend import BgvBackend, CtBatch
 from .hntt import _HNttCtx, _hntt_inner, ligero_ntt_scales
-from .hsched import apply_schedule, apply_schedule_full, record_schedule, \
-    unit_schedule
+from .hsched import apply_schedule_auto, apply_schedule_full_auto, \
+    record_schedule, unit_schedule
 
 _CACHE: dict = {}
 
@@ -58,7 +58,7 @@ def _stage_a_fn(backend, field, n1: int, cw: int, level: int, mid_level: int):
         def impl(chunk):  # [n1, cw, 2, L, N] -> [n1, cw, 2, Lm, N]
             c = jnp.swapaxes(chunk, 0, 1)               # [cw, n1, ...]
             flat = c.reshape((cw * n1,) + c.shape[2:])
-            out = apply_schedule_full(flat, sched, res, q)
+            out = apply_schedule_full_auto(flat, sched, res, q)
             out = backend.rescale_to(
                 CtBatch(data=out, level=level), mid_level)
             o = out.data.reshape((cw, n1) + out.data.shape[1:])
@@ -69,21 +69,25 @@ def _stage_a_fn(backend, field, n1: int, cw: int, level: int, mid_level: int):
 
 def _stage_b_fn(backend, field, n2: int, cw: int, mid_level: int):
     """ONE compiled program for every row chunk: per-row cofactor residues
-    are inputs (w/ws [cw, nl, n2, L]), the pairing is a shared constant."""
+    are inputs (w/ws [cw, nl, n2, L]), the pairing is a shared constant.
+    Rows stack into one flat position axis (each row = one transform
+    group), so the fused Pallas kernel serves the whole chunk in a single
+    call on TPU."""
     key = ("B", id(backend), field.modulus, field.n, n2, cw, mid_level)
     if key not in _CACHE:
-        sched = unit_schedule(field, n2, n2)   # pairing is scale-independent
+        sched = unit_schedule(field, n2, cw * n2)  # pairing is scale-indep.
         fpos = np.asarray(sched.final_pos)
         q, _, _ = backend.params.limb_consts(mid_level)
+        nl = sched.n_layers
 
-        def row(xr, w, ws):  # [n2, 2, Lm, N]
-            out = apply_schedule(xr, sched, w, ws, q)
-            out = out[fpos]
-            return backend.rescale_to(
+        def impl(chunk, w, ws):  # chunk [cw, n2, 2, Lm, N]
+            x = chunk.reshape((cw * n2,) + chunk.shape[2:])
+            wall = jnp.transpose(w, (1, 0, 2, 3)).reshape(nl, cw * n2, -1)
+            wsall = jnp.transpose(ws, (1, 0, 2, 3)).reshape(nl, cw * n2, -1)
+            out = apply_schedule_auto(x, sched, wall, wsall, q)[fpos]
+            out = backend.rescale_to(
                 CtBatch(data=out, level=mid_level), 1).data
-
-        def impl(chunk, w, ws):
-            return jax.vmap(row)(chunk, w, ws)
+            return out.reshape((cw, n2) + out.shape[1:])
         _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
     return _CACHE[key]
 
