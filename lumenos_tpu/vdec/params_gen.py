@@ -198,6 +198,7 @@ def calibrate(
     b_prime: float = 0.0,       # approx-proof linf bound (0 = disabled)
     noise_dim: int = 0,         # approx-proof witness dimension
     nbit_moduli: int = 50,
+    compression: bool = True,   # False: skip exact-q/gamma/D (dcompress)
 ) -> CalibratedParams:
     """Derive a full parameter set (vdec_params_generator.sage:6-406).
 
@@ -277,6 +278,40 @@ def calibrate(
         if (get_delta_msis(bound, k_msis, d, q_approx) < DELTA128
                 and bound < q_approx):
             break
+
+    if not compression:
+        # caller manages its own (possibly multi-prime) modulus and does
+        # not use the dcompress optimization: report hardness at the
+        # target size with gamma/D disabled
+        q = q_approx
+        q1 = find_split_prime(2 ** log2q1) if n_div == 1 else \
+            find_split_prime(2 ** log2q1)
+        b_, bound = _bounds(k_msis, stdev2, mpf(0), 0)
+        delta_msis = get_delta_msis(bound, k_msis, d, q_approx)
+        delta_mlwe = get_delta_mlwe(nu, k_mlwe, d, q_approx)
+        m1_rate = std_gamma2M(gamma1_eff)
+        m2_rate = std_gamma2M(stdev2 / (mpf(eta) * nu * mp.sqrt(m2 * d)))
+        m4_rate = bim_gamma2M(gamma4_eff) if b_prime > 0 else mpf(1)
+        bz4 = int(mp.floor((mpf(T_TAIL) * stdev4 * mp.sqrt(256)) ** 2)) \
+            if b_prime > 0 else 0
+        if not (m1 * d >= 5 * KAPPA and m2 * d >= 5 * KAPPA):
+            raise ValueError(
+                "protocol not statistically complete at these dims")
+        eknow = (mpf(2) / mpf(2) ** csize_log2
+                 + mpf(2) ** (-log2q1 * (d // L_SPLIT))   # q1^(-d/L)
+                 + mpf(2) ** (-log2q1 * lmbda))
+        return CalibratedParams(
+            d=d, q=q, q1=q1, log2q=log2q, moduli=(),
+            m1=m1, l=l, lmbda=lmbda, lext=lext,
+            k_mlwe=k_mlwe, k_msis=k_msis, m2=m2, nu=nu,
+            omega=omega, eta=eta, csize_log2=csize_log2,
+            stdev1=float(stdev1), stdev2=float(stdev2),
+            stdev4=float(stdev4),
+            M1=float(m1_rate), M2=float(m2_rate), M4=float(m4_rate),
+            gamma=0, big_d=0,
+            bound_b=float(b_), bound_bz4=bz4,
+            delta_msis=float(delta_msis), delta_mlwe=float(delta_mlwe),
+            knowledge_error_log2=float(mp.ceil(mp.log(eknow, 2))))
 
     # exact q (q1 [* q2], each = 2L+1 mod 4L) advancing to the next prime
     # until q-1 has an even divisor in (4/5*gamma, gamma] — the reference

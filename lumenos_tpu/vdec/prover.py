@@ -65,7 +65,7 @@ def extract_statement(
     batched: CtBatch,
     claimed_values: np.ndarray,
     sk: SecretKey,
-    noise_bound: int = 1 << 48,
+    noise_bound: int = 1 << 43,
 ) -> PodStatement:
     """Build the PoD statement for the digit-batched ciphertexts.
 

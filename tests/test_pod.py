@@ -76,3 +76,45 @@ def test_pod_rejects_wrong_statement(pod, proof, statement):
     u2[0, 0, 0] = (int(u2[0, 0, 0]) + 1) % int(pod.params.primes[0])
     verifier.u_res = u2
     assert not verifier.verify(proof)
+
+
+def test_pod_rejects_tampered_projection(pod, proof):
+    import copy
+    bad = copy.copy(proof)
+    bad.z_proj = proof.z_proj.copy()
+    bad.z_proj[0, 0] += 1
+    assert not pod.verify(bad)
+
+
+def test_pod_rejects_nonzero_h_coeff0(pod, proof):
+    import copy
+    bad = copy.copy(proof)
+    bad.h = proof.h.copy()
+    bad.h[0, 0, 0] = 1
+    assert not pod.verify(bad)
+
+
+def test_pod_rejects_tampered_quad_garbage(pod, proof):
+    import copy
+    bad = copy.copy(proof)
+    bad.v0 = proof.v0.copy()
+    bad.v0[0, 0] ^= 1
+    assert not pod.verify(bad)
+
+
+def test_security_report_sound(pod):
+    rep = pod.security_report()
+    assert "SOUND" in rep and "INSUFFICIENT" not in rep
+
+
+def test_calibrated_params_hardness(pod):
+    # the derived MSIS/MLWE ranks must carry their hardness margins
+    from lumenos_tpu.vdec.params_gen import DELTA128, calibrate
+    import math
+    a2 = sum((j1 - j0) * 64 * b * b for (j0, j1, b) in pod.blocks)
+    cal = calibrate(153, 64, pod.m1, math.sqrt(a2), pod.N_SLOTS,
+                    log2q1=51, nbit_moduli=51, compression=False)
+    assert cal.delta_msis < DELTA128
+    assert cal.delta_mlwe < DELTA128
+    assert cal.k_msis == pod.params.n
+    assert cal.m2 == pod.params.m2
