@@ -85,7 +85,7 @@ def load_native() -> ctypes.CDLL | None:
                 [ctypes.c_void_p] * 3
             lib.pod_statement_noise.argtypes = [
                 ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint32] + \
-                [ctypes.c_void_p] * 9
+                [ctypes.c_void_p] * 10
             _handle = lib
             return lib
         except Exception:

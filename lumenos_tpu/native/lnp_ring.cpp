@@ -735,19 +735,22 @@ void pod_big_conv(const u64* primes, int L, unsigned n, const u64* a,
            out + (size_t)l * n);
 }
 
-// PoD statement noise: e = ct0 + ct1 (*) s - dm  (mod Q1, centered),
-// with s ternary (i8) and Q1 < 2^128 passed as two u64 halves.
+// PoD statement noise + wrap: over the integers,
+//     ct0 + ct1 (*) s - dm  =  e + Q1 * v,
+// with s ternary (i8), Q1 < 2^128 passed as two u64 halves, e the
+// centered representative mod Q1 and v the (small) wrap witness.
 // ct0/ct1/dm enter as centered i128 split into (hi: i64, lo: u64) pairs
-// [n]; e leaves the same way. The ternary convolution is exact signed
-// 128-bit accumulation (|sum| <= n * Q1/2 < 2^126).
+// [n]; e leaves the same way; v leaves as i64 (|v| <= n/2 + 1).
+// The ternary convolution is exact signed 128-bit accumulation
+// (|sum| <= n * Q1/2 < 2^126).
 void pod_statement_noise(u64 q_lo, u64 q_hi, unsigned n, const i64* ct0_hi,
                          const u64* ct0_lo, const i64* ct1_hi,
                          const u64* ct1_lo, const i64* dm_hi,
                          const u64* dm_lo, const int8_t* s, i64* e_hi,
-                         u64* e_lo) {
+                         u64* e_lo, i64* v_out) {
   using i128 = __int128_t;
   u128 Q = ((u128)q_hi << 64) | q_lo;
-  std::vector<i128> ct1v(n), acc(n);
+  std::vector<i128> ct1v(n);
   for (unsigned i = 0; i < n; i++)
     ct1v[i] = ((i128)ct1_hi[i] << 64) | ct1_lo[i];
 #pragma omp parallel for schedule(static)
@@ -762,13 +765,14 @@ void pod_statement_noise(u64 q_lo, u64 q_hi, unsigned n, const i64* ct0_hi,
     }
     a += ((i128)ct0_hi[k] << 64) | ct0_lo[k];
     a -= ((i128)dm_hi[k] << 64) | dm_lo[k];
-    // reduce to centered representative mod Q
+    // reduce to centered representative mod Q; v = (a - e)/Q exactly
     i128 sq = (i128)Q;
-    a %= sq;
-    if (a > sq / 2) a -= sq;
-    if (a < -(sq / 2)) a += sq;
-    e_hi[k] = (i64)(a >> 64);
-    e_lo[k] = (u64)(a & ~0ull);
+    i128 e = a % sq;
+    if (e > sq / 2) e -= sq;
+    if (e < -(sq / 2)) e += sq;
+    e_hi[k] = (i64)(e >> 64);
+    e_lo[k] = (u64)(e & ~0ull);
+    if (v_out) v_out[k] = (i64)((a - e) / sq);
   }
 }
 

@@ -80,7 +80,12 @@ class LnpParams:
     omega: int = 8       # challenge weight (vdec_params.h)
     sigma1: float = float(1 << 12)   # mask stdev for s1 openings
     sigma2: float = float(1 << 12)
-    rej_m: float = 2.0               # bimodal repetition parameter
+    rej_m: float = 2.0               # repetition parameter for z1
+    rej_m2: float | None = None      # for z2 (defaults to rej_m)
+
+    @property
+    def rej_m2_eff(self) -> float:
+        return self.rej_m if self.rej_m2 is None else self.rej_m2
 
     @property
     def q(self) -> int:

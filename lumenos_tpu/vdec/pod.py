@@ -167,17 +167,21 @@ class PodProver:
             self.bz.append(int(TAIL * 1.64 * s4))
         self.rej_m4 = float(bim_gamma2M(GAMMA4))
 
-        # witness chunks: s, e_k, v_k  (v = (ct0 + ct1 s - dm - e)/Q1)
+        # witness chunks: s, e_k, v_k  (v = (ct0 + ct1 s - dm - e)/Q1,
+        # precomputed by the native statement assembly when available)
         s = statement.sk_signed.astype(object)
         chunks = [chunk_big_poly(s, n_big)]
         vs = []
         for k in range(self.n_ct):
             e = statement.noise[k]
-            conv = _negacyclic_int(statement.ct1[k], s, n_big)
-            num = statement.ct0[k] + conv - statement.delta_m[k] - e
-            v = np.array([int(x) // q1 for x in num], dtype=object)
-            assert all(int(x) % q1 == 0 for x in num), \
-                "wrap witness not integral"
+            if statement.wrap is not None:
+                v = statement.wrap[k].astype(object)
+            else:
+                conv = _negacyclic_int(statement.ct1[k], s, n_big)
+                num = statement.ct0[k] + conv - statement.delta_m[k] - e
+                v = np.array([int(x) // q1 for x in num], dtype=object)
+                assert all(int(x) % q1 == 0 for x in num), \
+                    "wrap witness not integral"
             vs.append(v)
             chunks.append(chunk_big_poly(e, n_big))
         for k in range(self.n_ct):
@@ -214,7 +218,8 @@ class PodProver:
                         log2q1=51, nbit_moduli=51, compression=False)
         return LnpParams(
             primes=primes, n=cal.k_msis, m2=cal.m2, omega=OMEGA,
-            sigma1=cal.stdev1, sigma2=cal.stdev2, rej_m=cal.M1)
+            sigma1=cal.stdev1, sigma2=cal.stdev2, rej_m=cal.M1,
+            rej_m2=cal.M2)
 
     def security_report(self) -> str:
         """Concrete extraction/binding ladder (module docstring)."""
@@ -440,12 +445,15 @@ class PodProver:
                 if (rejection_accept(z1, z1 - y1, p.sigma1, p.rej_m,
                                      sd + b"r1")
                         and rejection_accept(z2, z2 - y2, p.sigma2,
-                                             p.rej_m, sd + b"r2")
+                                             p.rej_m2_eff, sd + b"r2")
                         and self._norm_ok(z1, z2)
-                        # i64 head-room guard: with sigma1 up to ~2^60 a
-                        # >6-sigma coefficient would wrap int64; re-try
-                        # (secret-independent after rejection sampling)
-                        and np.abs(z1).max() < (1 << 62)):
+                        # i64 head-room guard: |z1| must stay below
+                        # 2^63 - |c*w|_max (~2^53) so z1 = y1 + c*w and
+                        # downstream signed ops never wrap int64. With
+                        # sigma1 ~ 2^60.6 this is a ~4.8-sigma cut
+                        # (symmetric, so still secret-independent after
+                        # rejection sampling); rejects ~4% of attempts.
+                        and np.abs(z1).max() < (1 << 63) - (1 << 55)):
                     t_b = np.concatenate([t_yb, t_g, t_g1[None]])
                     return PodProof(
                         commitment=AbdlopCommitment(t_a=t_a, t_b=t_b),

@@ -43,6 +43,9 @@ class PodStatement:
     sk_signed: np.ndarray          # [N] ternary witness
     noise: np.ndarray              # [CT_COUNT, N] the implied noise e
     noise_bound: int
+    wrap: np.ndarray | None = None  # [CT_COUNT, N] i64 wrap witness v
+    #   (ct0 + ct1*s - delta_m = noise + Q1*wrap over Z; filled by the
+    #   native assembly path, recomputed host-side otherwise)
 
 
 def _crt_center(residues: np.ndarray, qs: list[int]) -> np.ndarray:
@@ -92,18 +95,55 @@ def extract_statement(
     dm = np.asarray(backend.encoder.embed_delta_m(poly_t, POD_LEVEL))
     delta_m = np.stack([_crt_center(dm[k], qs) for k in range(n_ct)])
 
-    # implied noise e = ct0 + ct1*s - Delta*m (negacyclic product, exact)
+    # implied noise e and wrap v: ct0 + ct1*s - Delta*m = e + Q*v over Z
+    # (native exact i128 ternary convolution; Python O(N^2) fallback)
+    from ..native import load_native
+    lib = load_native()
     s = sk.s_signed.astype(object)
     noise = np.zeros((n_ct, backend.n), dtype=object)
-    for k in range(n_ct):
-        conv = _negacyclic_mul(ct1[k], s, Q)
-        e = (ct0[k] + conv - delta_m[k]) % Q
-        noise[k] = np.where(e > Q // 2, e - Q, e)
+    wrap = None
+    if lib is not None and Q < (1 << 127):
+        wrap = np.zeros((n_ct, backend.n), np.int64)
+        s_i8 = np.ascontiguousarray(sk.s_signed, np.int8)
+        e_hi = np.zeros(backend.n, np.int64)
+        e_lo = np.zeros(backend.n, np.uint64)
+        for k in range(n_ct):
+            c0h, c0l = _obj_to_hilo(ct0[k])
+            c1h, c1l = _obj_to_hilo(ct1[k])
+            dmh, dml = _obj_to_hilo(delta_m[k])
+            lib.pod_statement_noise(
+                Q & ((1 << 64) - 1), Q >> 64, backend.n,
+                c0h.ctypes.data, c0l.ctypes.data, c1h.ctypes.data,
+                c1l.ctypes.data, dmh.ctypes.data, dml.ctypes.data,
+                s_i8.ctypes.data, e_hi.ctypes.data, e_lo.ctypes.data,
+                wrap[k].ctypes.data)
+            noise[k] = _hilo_to_obj(e_hi, e_lo)
+    else:
+        for k in range(n_ct):
+            conv = _negacyclic_mul(ct1[k], s, Q)
+            e = (ct0[k] + conv - delta_m[k]) % Q
+            noise[k] = np.where(e > Q // 2, e - Q, e)
 
     return PodStatement(
         q_modulus=Q, t=backend.t, n=backend.n, ct0=ct0, ct1=ct1,
         delta_m=delta_m, sk_signed=sk.s_signed, noise=noise,
-        noise_bound=noise_bound)
+        noise_bound=noise_bound, wrap=wrap)
+
+
+def _obj_to_hilo(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Centered big ints (|x| < 2^127) -> two's-complement (hi i64, lo u64)."""
+    mask = (1 << 64) - 1
+    hi = np.fromiter((int(x) >> 64 for x in arr), np.int64, len(arr))
+    lo = np.fromiter((int(x) & mask for x in arr), np.uint64, len(arr))
+    return hi, lo
+
+
+def _hilo_to_obj(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Inverse of _obj_to_hilo."""
+    out = np.empty(len(hi), dtype=object)
+    for i in range(len(hi)):
+        out[i] = (int(hi[i]) << 64) + int(lo[i])
+    return out
 
 
 def _negacyclic_mul(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:

@@ -118,3 +118,78 @@ def test_calibrated_params_hardness(pod):
     assert cal.delta_mlwe < DELTA128
     assert cal.k_msis == pod.params.n
     assert cal.m2 == pod.params.m2
+
+
+def _synthetic_statement(n_big: int, n_ct: int = 3, seed: int = 7):
+    """Protocol-shaped statement at production scale without the (slow on
+    CPU) FHE pipeline: random centered ct1/dm, small planted noise, exact
+    wrap from the native assembly (prover.py extract_statement path)."""
+    from lumenos_tpu.vdec.prover import PodStatement, _obj_to_hilo, _hilo_to_obj
+    lib = load_native()
+    Q = ((1 << 58) - 27) * ((1 << 56) - 5)
+    rng = np.random.default_rng(seed)
+
+    def rand_centered(n):
+        out = np.empty(n, dtype=object)
+        for i in range(n):
+            out[i] = (int(rng.integers(0, 1 << 62)) * (1 << 52)
+                      + int(rng.integers(0, 1 << 52)))
+        return out % Q - Q // 2
+
+    sk = rng.integers(-1, 2, n_big).astype(np.int8)
+    ct0 = np.zeros((n_ct, n_big), dtype=object)
+    ct1 = np.zeros((n_ct, n_big), dtype=object)
+    dm = np.zeros((n_ct, n_big), dtype=object)
+    noise = np.zeros((n_ct, n_big), dtype=object)
+    wrap = np.zeros((n_ct, n_big), np.int64)
+    e_hi = np.zeros(n_big, np.int64)
+    e_lo = np.zeros(n_big, np.uint64)
+
+    def native_noise(k, v_ptr):
+        c0h, c0l = _obj_to_hilo(ct0[k])
+        c1h, c1l = _obj_to_hilo(ct1[k])
+        dmh, dml = _obj_to_hilo(dm[k])
+        lib.pod_statement_noise(
+            Q & ((1 << 64) - 1), Q >> 64, n_big,
+            c0h.ctypes.data, c0l.ctypes.data, c1h.ctypes.data,
+            c1l.ctypes.data, dmh.ctypes.data, dml.ctypes.data,
+            sk.ctypes.data, e_hi.ctypes.data, e_lo.ctypes.data, v_ptr)
+
+    for k in range(n_ct):
+        ct1[k] = rand_centered(n_big)
+        dm[k] = rand_centered(n_big)
+        ct0[k] = rand_centered(n_big)
+        native_noise(k, 0)
+        e0 = _hilo_to_obj(e_hi, e_lo)
+        e_t = np.array([int(x) for x in rng.integers(-(1 << 40), 1 << 40,
+                                                     n_big)], dtype=object)
+        adj = (ct0[k] - e0 + e_t) % Q
+        ct0[k] = np.where(adj > Q // 2, adj - Q, adj)
+        native_noise(k, wrap[k].ctypes.data)
+        noise[k] = _hilo_to_obj(e_hi, e_lo)
+    return PodStatement(q_modulus=Q, t=(1 << 57) - 13, n=n_big, ct0=ct0,
+                        ct1=ct1, delta_m=dm, sk_signed=sk.astype(np.int64),
+                        noise=noise, noise_bound=1 << 43, wrap=wrap)
+
+
+def test_pod_production_scale():
+    """Full PoD at the protocol's LogN=12 dimensions (N=4096, 3 digit
+    ciphertexts, m1=448 chunks): prove + verify + soundness ladder.
+    Reference client PoD at this scale is 22.8 s (README.md:89)."""
+    import time
+    st = _synthetic_statement(4096)
+    t0 = time.time()
+    pod = PodProver(st)
+    proof = pod.prove(b"scale-test")
+    t_prove = time.time() - t0
+    assert pod.verify(proof)
+    rep = pod.security_report()
+    assert "SOUND" in rep and "INSUFFICIENT" not in rep
+    # native assembly keeps the whole prove under the reference's 22.8 s
+    assert t_prove < 22.8, f"PoD prove too slow: {t_prove:.1f}s"
+    # tamper probe at scale
+    import copy
+    bad = copy.copy(proof)
+    bad.z1 = proof.z1.copy()
+    bad.z1[5, 5] += 1
+    assert not pod.verify(bad)
