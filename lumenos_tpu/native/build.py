@@ -86,6 +86,8 @@ def load_native() -> ctypes.CDLL | None:
             lib.pod_statement_noise.argtypes = [
                 ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint32] + \
                 [ctypes.c_void_p] * 10
+            lib.gbfv_statement_noise.argtypes = [
+                ctypes.c_uint64, ctypes.c_uint64] + [ctypes.c_void_p] * 10
             _handle = lib
             return lib
         except Exception:

@@ -158,7 +158,7 @@ void ntt_inv(const Limb& L, u64* a) {
 // schoolbook negacyclic product mod q (split-friendly limbs); out != a, b.
 // Positive and wrapped halves accumulate separately: each is a sum of at
 // most D products < 2^100, so < 2^106 fits u128 without folding.
-void negacyclic_mul(u64 q, const u64* a, const u64* b, u64* out) {
+static void negacyclic_mul_slow(u64 q, const u64* a, const u64* b, u64* out) {
   u128 lo[D] = {}, hi[D] = {};
   for (int i = 0; i < D; i++) {
     u64 ai = a[i];
@@ -169,6 +169,59 @@ void negacyclic_mul(u64 q, const u64* a, const u64* b, u64* out) {
   }
   for (int k = 0; k < D; k++)
     out[k] = subm((u64)(lo[k] % q), (u64)(hi[k] % q), q);
+}
+
+// One-level split CRT for q = 5 mod 8 (our split-friendly primes): with
+// i = 2^((q-1)/4) (2 is a non-residue for q = +-3 mod 8, so i^2 = -1),
+// X^64+1 = (X^32 - i)(X^32 + i); evaluate, multiply two degree-32
+// twisted halves (half the schoolbook products), interpolate.
+void negacyclic_mul(u64 q, const u64* a, const u64* b, u64* out) {
+  if ((q & 7) != 5) { negacyclic_mul_slow(q, a, b, out); return; }
+  constexpr int H = D / 2;
+  thread_local u64 cq = 0, ci = 0, cinv2 = 0;
+  if (cq != q) {
+    cq = q;
+    ci = powm(2, (q - 1) / 4, q);
+    cinv2 = (q + 1) / 2;
+  }
+  u64 ap[H], am[H], bp[H], bm[H];
+  for (int k = 0; k < H; k++) {
+    u64 ha = mulm(a[k + H], ci, q), hb = mulm(b[k + H], ci, q);
+    ap[k] = addm(a[k], ha, q);
+    am[k] = subm(a[k], ha, q);
+    bp[k] = addm(b[k], hb, q);
+    bm[k] = subm(b[k], hb, q);
+  }
+  u64 cp[H], cm[H];
+  {
+    u128 lo[H] = {}, hi[H] = {};
+    for (int i = 0; i < H; i++) {
+      u64 ai = ap[i];
+      if (!ai) continue;
+      int j = 0;
+      for (; j < H - i; j++) lo[i + j] += (u128)ai * bp[j];
+      for (; j < H; j++) hi[i + j - H] += (u128)ai * bp[j];
+    }
+    for (int k = 0; k < H; k++)   // X^32 = i
+      cp[k] = addm((u64)(lo[k] % q), mulm((u64)(hi[k] % q), ci, q), q);
+  }
+  {
+    u128 lo[H] = {}, hi[H] = {};
+    for (int i = 0; i < H; i++) {
+      u64 ai = am[i];
+      if (!ai) continue;
+      int j = 0;
+      for (; j < H - i; j++) lo[i + j] += (u128)ai * bm[j];
+      for (; j < H; j++) hi[i + j - H] += (u128)ai * bm[j];
+    }
+    for (int k = 0; k < H; k++)   // X^32 = -i
+      cm[k] = subm((u64)(lo[k] % q), mulm((u64)(hi[k] % q), ci, q), q);
+  }
+  for (int k = 0; k < H; k++) {   // c0 = (cp+cm)/2, c1 = (cp-cm)/(2i)
+    out[k] = mulm(addm(cp[k], cm[k], q), cinv2, q);
+    u64 t = mulm(subm(cp[k], cm[k], q), cinv2, q);
+    out[k + H] = mulm(t, q - ci, q);
+  }
 }
 
 // ---- SHAKE-128 ------------------------------------------------------------
@@ -766,6 +819,68 @@ void pod_statement_noise(u64 q_lo, u64 q_hi, unsigned n, const i64* ct0_hi,
     a += ((i128)ct0_hi[k] << 64) | ct0_lo[k];
     a -= ((i128)dm_hi[k] << 64) | dm_lo[k];
     // reduce to centered representative mod Q; v = (a - e)/Q exactly
+    i128 sq = (i128)Q;
+    i128 e = a % sq;
+    if (e > sq / 2) e -= sq;
+    if (e < -(sq / 2)) e += sq;
+    e_hi[k] = (i64)(e >> 64);
+    e_lo[k] = (u64)(e & ~0ull);
+    if (v_out) v_out[k] = (i64)((a - e) / sq);
+  }
+}
+
+// GBFV statement noise + wrap over Z[X]/f, f = Phi_42(X^256) =
+// Phi_10752(X), degree 3072 (the reference's vdec_gbfv.c ring: its
+// 12x12 delta=256 rotation matrix encodes exactly X^3072 =
+// -1 - X^256 + X^768 + X^1024 - X^1536 + X^2048 + X^2304 - X^2816;
+// the reference pads to 3078 and truncates to 48 chunks - we use the
+// true cyclotomic degree). Linear ternary convolution in exact i128,
+// sparse f-reduction cascade, then e = centered mod Q, v = (acc-e)/Q.
+static const int GBFV_N = 3072;
+static const int GBFV_NOFF = 8;
+static const int gbfv_off[GBFV_NOFF] = {0, 256, 768, 1024, 1536, 2048,
+                                        2304, 2816};
+static const int gbfv_sgn[GBFV_NOFF] = {-1, -1, 1, 1, -1, 1, 1, -1};
+
+void gbfv_statement_noise(u64 q_lo, u64 q_hi, const i64* ct0_hi,
+                          const u64* ct0_lo, const i64* ct1_hi,
+                          const u64* ct1_lo, const i64* dm_hi,
+                          const u64* dm_lo, const int8_t* s, i64* e_hi,
+                          u64* e_lo, i64* v_out) {
+  using i128 = __int128_t;
+  const int n = GBFV_N;
+  u128 Q = ((u128)q_hi << 64) | q_lo;
+  std::vector<i128> ct1v(n);
+  for (int i = 0; i < n; i++)
+    ct1v[i] = ((i128)ct1_hi[i] << 64) | ct1_lo[i];
+  // linear convolution acc[0..2n-2]
+  std::vector<i128> acc(2 * n - 1, 0);
+#pragma omp parallel for schedule(static)
+  for (int k = 0; k < 2 * n - 1; k++) {
+    i128 a = 0;
+    int jlo = k >= n ? k - n + 1 : 0;
+    int jhi = k < n ? k : n - 1;
+    for (int j = jlo; j <= jhi; j++) {
+      int8_t sj = s[j];
+      if (sj) a += sj > 0 ? ct1v[k - j] : -ct1v[k - j];
+    }
+    acc[k] = a;
+  }
+  // f-reduction cascade: X^e = X^(e-n) * X^n, highest first
+  for (int e = 2 * n - 2; e >= n; e--) {
+    i128 c = acc[e];
+    if (c == 0) continue;
+    acc[e] = 0;
+    for (int t = 0; t < GBFV_NOFF; t++) {
+      int p = e - n + gbfv_off[t];
+      acc[p] += gbfv_sgn[t] > 0 ? c : -c;
+    }
+  }
+#pragma omp parallel for schedule(static)
+  for (int k = 0; k < n; k++) {
+    i128 a = acc[k];
+    a += ((i128)ct0_hi[k] << 64) | ct0_lo[k];
+    a -= ((i128)dm_hi[k] << 64) | dm_lo[k];
     i128 sq = (i128)Q;
     i128 e = a % sq;
     if (e > sq / 2) e -= sq;

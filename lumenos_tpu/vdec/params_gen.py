@@ -91,11 +91,15 @@ def bim_gamma2M(gamma: mpf) -> mpf:
     return mp.exp(mpf(1) / (2 * gamma ** 2))
 
 
-def round_stdev(stdev: mpf) -> mpf:
-    """Round to the samplable form 1.55 * 2^k (codegen.sage:270-278)."""
+def round_stdev(stdev: mpf, up: bool = False) -> mpf:
+    """Round to the samplable form 1.55 * 2^k (codegen.sage:270-278).
+    up=True rounds toward the wider stdev: rounding down shrinks the
+    effective gamma and can double the rejection rate M."""
     log2stdev = mp.log(stdev / mpf(1.55), 2)
     lo = mpf(1.55) * 2 ** mp.floor(log2stdev)
     hi = mpf(1.55) * 2 ** mp.ceil(log2stdev)
+    if up:
+        return hi
     return lo if stdev - lo <= hi - stdev else hi
 
 
@@ -199,6 +203,7 @@ def calibrate(
     noise_dim: int = 0,         # approx-proof witness dimension
     nbit_moduli: int = 50,
     compression: bool = True,   # False: skip exact-q/gamma/D (dcompress)
+    round_up: bool = False,     # round stdevs up (keeps M1/M2 low)
 ) -> CalibratedParams:
     """Derive a full parameter set (vdec_params_generator.sage:6-406).
 
@@ -223,7 +228,7 @@ def calibrate(
 
     # stdev1 from the witness norm (rounded to samplable form)
     alpha = mpf(alpha)
-    stdev1 = round_stdev(mpf(gamma1) * eta * alpha)
+    stdev1 = round_stdev(mpf(gamma1) * eta * alpha, up=round_up)
     gamma1_eff = stdev1 / (eta * alpha)
     stdev4 = mpf(0)
     gamma4_eff = mpf(gamma4)
@@ -264,7 +269,8 @@ def calibrate(
     while True:
         k_msis += 1
         m2 = k_mlwe + k_msis + l + lmbda // 2 + 1
-        stdev2 = round_stdev(mpf(gamma2) * eta * nu * mp.sqrt(m2 * d))
+        stdev2 = round_stdev(mpf(gamma2) * eta * nu * mp.sqrt(m2 * d),
+                             up=round_up)
         _, bound = _bounds(k_msis, stdev2, mpf(0), 0)
         if (get_delta_msis(bound, k_msis, d, q_approx) < DELTA128
                 and bound < q_approx):

@@ -69,8 +69,9 @@ from .lnp import Abdlop, AbdlopCommitment, D, LnpParams, LnpRing, \
 from .params_gen import bim_gamma2M, round_stdev
 from .quad import (
     N_PROJ, OMEGA, QuadForm, _addp, _mulp, _subp, auto_signed,
-    challenge_matrix, expand_v, project, quad_challenge, ring_auto,
-    ring_mul, scalar_res, v_dot_R, vec_dot_scalars,
+    challenge_matrix, eval_quad_batched, eval_t0_t1, expand_v, project,
+    qf_arrays, quad_challenge, ring_auto, ring_mul, scalar_res, v_dot_R,
+    vec_dot_scalars,
 )
 
 LAMBDA = 2           # SZ repetitions per projection (q1 ~ 2^51, KAPPA=100)
@@ -128,13 +129,25 @@ class PodProver:
     """Prove/verify decryption of the digit-batched ciphertexts."""
 
     # BDLOP slot map: [y (N_BLOCKS*4) | beta (N_BLOCKS) | g (N_BLOCKS*
-    # LAMBDA) | t1 (1)]
-    N_Y = N_BLOCKS * N_YPOLYS
-    N_G = N_BLOCKS * LAMBDA
-    N_SLOTS = N_Y + N_BLOCKS + N_G + 1
+    # LAMBDA + N_LIN) | t1 (1)].  N_LIN extra garbage slots host the
+    # Schwartz-Zippel-compressed linear decryption equations used by the
+    # GBFV variant (vdec/gbfv.py); the BFV path proves the linear
+    # relation with the masked ring-linear evaluation instead (N_LIN=0).
+    N_LIN = 0
+    SCHEME_SEED = b"lumenos-pod-v2"
+
+    def _v_bound(self) -> float:
+        """linf bound on the honest wrap witness v."""
+        return float(2 * self.st.n)
+
+    def _init_layout(self) -> None:
+        self.N_Y = N_BLOCKS * N_YPOLYS
+        self.N_G = N_BLOCKS * LAMBDA + self.N_LIN
+        self.N_SLOTS = self.N_Y + N_BLOCKS + self.N_G + 1
 
     def __init__(self, statement, params: LnpParams | None = None):
         """statement: vdec.prover.PodStatement (level-1, CT_COUNT cts)."""
+        self._init_layout()
         self.st = statement
         n_big = statement.n
         self.n_chunks = nc = n_big // D
@@ -146,7 +159,7 @@ class PodProver:
         self.blocks = [
             (0, nc, 1.0),                                     # s: ternary
             (nc, nc + self.n_ct * nc, float(statement.noise_bound)),
-            (nc + self.n_ct * nc, m1, float(2 * n_big)),      # v wrap
+            (nc + self.n_ct * nc, m1, self._v_bound()),       # v wrap
         ]
 
         if params is None:
@@ -203,7 +216,7 @@ class PodProver:
         self.q1_mod = np.array([q1 % int(p) for p in params.primes],
                                np.uint64)
 
-        self.scheme = Abdlop(self.ring, b"lumenos-pod-v2", m1,
+        self.scheme = Abdlop(self.ring, self.SCHEME_SEED, m1,
                              ell=self.N_SLOTS)
 
     def _calibrated_params(self) -> LnpParams:
@@ -214,8 +227,12 @@ class PodProver:
         # l2 bound on the committed witness across all blocks
         a2 = sum((j1 - j0) * D * b * b for (j0, j1, b) in self.blocks)
         alpha = math.sqrt(a2)
+        # gamma2=25 trades a slightly wider z2 (sigma2 ~ 2^18, no i64
+        # concern; MSIS rank re-derived) for M2 ~ 1.6 instead of 4.8 —
+        # the opening loop accepts in ~4 attempts instead of ~12.
         cal = calibrate(153, D, self.m1, alpha, self.N_SLOTS,
-                        log2q1=51, nbit_moduli=51, compression=False)
+                        log2q1=51, nbit_moduli=51, compression=False,
+                        gamma2=25.0, round_up=True)
         return LnpParams(
             primes=primes, n=cal.k_msis, m2=cal.m2, omega=OMEGA,
             sigma1=cal.stdev1, sigma2=cal.stdev2, rej_m=cal.M1,
@@ -310,11 +327,26 @@ class PodProver:
                     ibeta=2 * m1 + 2 * self.N_Y,
                     ig=2 * m1 + 2 * self.N_Y + N_BLOCKS)
 
-    def _build_quad(self, v_all, vr_all, z_all, h_polys, mu_res) -> QuadForm:
+    def _build_quad(self, v_all, vr_all, z_all, h_polys, mu_res,
+                    lin=None) -> QuadForm:
         """Combined quadratic form over s_hat (quad.py docstring)."""
         ring = self.ring
         ids = self._ids()
         qf = QuadForm({}, {}, np.zeros((ring.L, D), np.uint64))
+        if lin is not None:
+            # SZ-compressed linear equations (GBFV): for each k,
+            #   sum_j sigma(w_j) b_{k,j} - u_k + g_lin_k - h_lin_k = 0
+            b_all, u_all = lin
+            base = N_BLOCKS * LAMBDA
+            for k in range(self.N_LIN):
+                mu = mu_res[self._n_mu() - self.N_LIN + k]
+                for j in range(self.m1):
+                    qf.add_r1(ring, ids["isw"] + j,
+                              _mulp(ring, mu, b_all[k][j]))
+                qf.add_r1(ring, ids["ig"] + base + k, mu)
+                r0term = _subp(ring, np.zeros_like(u_all[k]),
+                               _addp(ring, u_all[k], h_polys[base + k]))
+                qf.add_r0(ring, _mulp(ring, mu, r0term))
         for p, (j0, j1, _) in enumerate(self.blocks):
             v_p, vr_p, z_p = v_all[p], vr_all[p], z_all[p]
             ibeta_p = ids["ibeta"] + p
@@ -340,7 +372,17 @@ class PodProver:
         return qf
 
     def _n_mu(self) -> int:
-        return N_BLOCKS * LAMBDA + N_BLOCKS
+        return N_BLOCKS * LAMBDA + N_BLOCKS + self.N_LIN
+
+    def _lin_data(self, h3: bytes):
+        """SZ linear-equation data (b_{k,j} polys, u_k consts) derived
+        from the transcript point h3; None for the BFV path (which
+        proves the linear relation with the masked A-evaluation)."""
+        return None
+
+    def _mask_linear(self, y1: np.ndarray) -> np.ndarray:
+        """Masked linear-form evaluation A y1 (BFV path)."""
+        return self._apply_A(y1)
 
     # -- prove ---------------------------------------------------------------
 
@@ -398,9 +440,25 @@ class PodProver:
                     acc = _subp(ring, acc, vz)
                     h_polys[pi * LAMBDA + k] = _addp(
                         ring, acc, g[pi * LAMBDA + k])
+            lin = self._lin_data(h3)
+            if lin is not None:
+                # honest h for the SZ linear equations:
+                #   h_k = g_k + (sum_j sigma(w_j) b_{k,j} - u_k)
+                b_all, u_all = lin
+                sw_all_r = ring.lift(sw_auto)
+                base = N_BLOCKS * LAMBDA
+                for k in range(self.N_LIN):
+                    prods = ring_mul(ring, sw_all_r, b_all[k])
+                    acc = np.zeros((ring.L, D), np.uint64)
+                    for j in range(prods.shape[0]):
+                        acc = _addp(ring, acc, prods[j])
+                    acc = _subp(ring, acc, u_all[k])
+                    h_polys[base + k] = _addp(ring, acc, g[base + k])
             h4 = self._hash(h3, self._arr(h_polys))
             mu_res = self._expand_mu(h4)
-            qf = self._build_quad(v_all, vr_all, z_proj, h_polys, mu_res)
+            qf = self._build_quad(v_all, vr_all, z_proj, h_polys, mu_res,
+                                  lin)
+            qf_arrs = qf_arrays(self.ring, qf)
 
         with start_span("Quadratic opening", ctx):
             beta_polys = np.zeros((N_BLOCKS, D), np.int64)
@@ -420,20 +478,10 @@ class PodProver:
                 y2_r = ring.lift(y2)
                 w_mask = ring.add(ring.mat_vec(self.scheme.a1, y1_r),
                                   ring.mat_vec(self.scheme.a2, y2_r))
-                f_eval = self._apply_A(y1)
+                f_eval = self._mask_linear(y1)
                 b_y2 = ring.mat_vec(self.scheme.b, y2_r)
                 y_vec = self._assemble_y(ring, y1_r, b_y2)
-                t0 = np.zeros((ring.L, D), np.uint64)
-                t1 = np.zeros((ring.L, D), np.uint64)
-                for (a, b), coef in qf.r2.items():
-                    t0 = _addp(ring, t0, _mulp(
-                        ring, coef, _mulp(ring, y_vec[a], y_vec[b])))
-                    cross = _addp(ring,
-                                  _mulp(ring, s_hat[a], y_vec[b]),
-                                  _mulp(ring, y_vec[a], s_hat[b]))
-                    t1 = _addp(ring, t1, _mulp(ring, coef, cross))
-                for a, coef in qf.r1.items():
-                    t1 = _addp(ring, t1, _mulp(ring, coef, y_vec[a]))
+                t0, t1 = eval_t0_t1(ring, qf_arrs, s_hat, y_vec)
                 t_g1 = ring.add(b_s2[islot_t1:islot_t1 + 1], t1[None])[0]
                 v0 = _addp(ring, t0, b_y2[islot_t1])
                 h5 = self._hash(h4, self._arr(w_mask), self._arr(f_eval),
@@ -547,6 +595,14 @@ class PodProver:
             z_y, ring_auto(ring, z_y),
             z_beta, z_g])
 
+    def _verify_linear(self, proof: PodProof, c_r: np.ndarray) -> bool:
+        ring = self.ring
+        az = self._apply_A(proof.z1)
+        rows = self.u_res.shape[0]
+        cu = ring_mul(ring, np.broadcast_to(
+            c_r, (rows,) + c_r.shape[1:]).copy(), self.u_res)
+        return np.array_equal(ring.sub(az, cu), proof.f_eval)
+
     def _norm_ok(self, z1, z2) -> bool:
         p = self.params
         b1 = p.sigma1 * np.sqrt(2.0 * self.m1 * D)
@@ -597,28 +653,20 @@ class PodProver:
             c_r, (n_rows,) + c_r.shape[1:]).copy(), t_a)
         if not np.array_equal(ring.sub(lhs, c_ta), proof.w_mask):
             return False
-        # 5. linear relation: A z1 - c u == f_eval
-        az = self._apply_A(proof.z1)
-        rows = self.u_res.shape[0]
-        cu = ring_mul(ring, np.broadcast_to(
-            c_r, (rows,) + c_r.shape[1:]).copy(), self.u_res)
-        if not np.array_equal(ring.sub(az, cu), proof.f_eval):
+        # 5. linear relation: A z1 - c u == f_eval (BFV masked path;
+        #    the GBFV variant proves it inside the quad form instead)
+        if not self._verify_linear(proof, c_r):
             return False
         # 6. quadratic relation:
         #    E(Z) - (c t_g1 - b_g1 z2) == v0  with
         #    E(Z) = Z R2 Z + c r1 Z + c^2 r0
-        qf = self._build_quad(v_all, vr_all, proof.z_proj, proof.h, mu_res)
+        qf = self._build_quad(v_all, vr_all, proof.z_proj, proof.h, mu_res,
+                              self._lin_data(h3))
         b_z2 = ring.mat_vec(self.scheme.b, z2_r)
         z_vec = self._assemble_z(ring, z1_r, c_r, t_b, b_z2)
         c_p = c_r[0]
-        e_val = np.zeros((ring.L, D), np.uint64)
-        for (a, b), coef in qf.r2.items():
-            e_val = _addp(ring, e_val, _mulp(
-                ring, coef, _mulp(ring, z_vec[a], z_vec[b])))
-        lin = np.zeros((ring.L, D), np.uint64)
-        for a, coef in qf.r1.items():
-            lin = _addp(ring, lin, _mulp(ring, coef, z_vec[a]))
-        e_val = _addp(ring, e_val, _mulp(ring, c_p, lin))
+        e_quad, e_lin = eval_quad_batched(ring, qf_arrays(ring, qf), z_vec)
+        e_val = _addp(ring, e_quad, _mulp(ring, c_p, e_lin))
         c2 = _mulp(ring, c_p, c_p)
         e_val = _addp(ring, e_val, _mulp(ring, c2, qf.r0))
         ct_g1 = _mulp(ring, c_p, t_g1)

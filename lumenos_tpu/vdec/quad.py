@@ -229,6 +229,65 @@ class QuadForm:
         return acc
 
 
+def qf_arrays(ring: LnpRing, qf: "QuadForm"):
+    """Stack the sparse form into index/coefficient arrays so each
+    evaluation is a handful of batched native calls instead of
+    thousands of per-term ctypes round-trips."""
+    k2 = list(qf.r2.keys())
+    k1 = list(qf.r1.keys())
+    ia = np.array([a for a, _ in k2], np.int64)
+    ib = np.array([b for _, b in k2], np.int64)
+    co2 = (np.stack([qf.r2[k] for k in k2])
+           if k2 else np.zeros((0, ring.L, D), np.uint64))
+    i1 = np.array(k1, np.int64)
+    co1 = (np.stack([qf.r1[k] for k in k1])
+           if k1 else np.zeros((0, ring.L, D), np.uint64))
+    return ia, ib, co2, i1, co1
+
+
+def _mod_sum(ring: LnpRing, prods: np.ndarray) -> np.ndarray:
+    """Sum [K, L, D] residues mod each prime (values < 2^51; K < 2^13
+    keeps the u64 accumulation exact)."""
+    s = prods.sum(axis=0, dtype=np.uint64)
+    q = np.asarray(ring._primes)[:, None]
+    return (s % q).astype(np.uint64)
+
+
+def eval_quad_batched(ring: LnpRing, arrs, xs: np.ndarray,
+                      ys: np.ndarray | None = None):
+    """(t_quad, t_lin): sum co2 * xs_a * zs_b and sum co1 * xs_a where
+    zs = ys or xs — one batched native mul per stage."""
+    ia, ib, co2, i1, co1 = arrs
+    zs = xs if ys is None else ys
+    out_q = np.zeros((ring.L, D), np.uint64)
+    out_l = np.zeros((ring.L, D), np.uint64)
+    if len(ia):
+        prods = ring_mul(ring, ring_mul(ring, xs[ia], zs[ib]), co2)
+        out_q = _mod_sum(ring, prods)
+    if len(i1):
+        out_l = _mod_sum(ring, ring_mul(ring, xs[i1], co1))
+    return out_q, out_l
+
+
+def eval_t0_t1(ring: LnpRing, arrs, s_hat: np.ndarray, y_vec: np.ndarray):
+    """Garbage-commitment pair for the quadratic opening:
+    t0 = sum co2 y_a y_b;  t1 = sum co2 (s_a y_b + y_a s_b) + sum co1 y_a.
+    """
+    ia, ib, co2, i1, co1 = arrs
+    t0 = np.zeros((ring.L, D), np.uint64)
+    t1 = np.zeros((ring.L, D), np.uint64)
+    if len(ia):
+        t0 = _mod_sum(ring, ring_mul(ring, ring_mul(
+            ring, y_vec[ia], y_vec[ib]), co2))
+        cross = ring.add(ring_mul(ring, s_hat[ia], y_vec[ib]),
+                         ring_mul(ring, y_vec[ia], s_hat[ib]))
+        t1 = _mod_sum(ring, ring_mul(ring, cross, co2))
+    if len(i1):
+        t1 = ring.add(t1[None], _mod_sum(
+            ring, ring_mul(ring, y_vec[i1], co1))[None])[0]
+    return t0, t1
+
+
 def _addp(ring, a, b):
     return ring.add(a[None], b[None])[0]
 

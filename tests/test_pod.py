@@ -113,7 +113,8 @@ def test_calibrated_params_hardness(pod):
     import math
     a2 = sum((j1 - j0) * 64 * b * b for (j0, j1, b) in pod.blocks)
     cal = calibrate(153, 64, pod.m1, math.sqrt(a2), pod.N_SLOTS,
-                    log2q1=51, nbit_moduli=51, compression=False)
+                    log2q1=51, nbit_moduli=51, compression=False,
+                    gamma2=25.0, round_up=True)
     assert cal.delta_msis < DELTA128
     assert cal.delta_mlwe < DELTA128
     assert cal.k_msis == pod.params.n
