@@ -38,6 +38,10 @@ def main(argv=None):
     ap.add_argument("--logn", type=int, default=8)
     ap.add_argument("--point", type=int, default=1)
     ap.add_argument("--vdec", action="store_true")
+    ap.add_argument("--ring-switch-logn", type=int, default=0,
+                    help="switch MatR/MatZ to this LogN before download "
+                         "(reference RING_SWITCH_LOGN; our proofs stay "
+                         "verifiable after the switch)")
     ap.add_argument("--local-baseline", action="store_true")
     ap.add_argument("--deterministic", action="store_true",
                     help="fixed RNG seed (tests/benches ONLY - keys become "
@@ -54,7 +58,13 @@ def main(argv=None):
 
     span = start_span("Keygen + upload", None, "Keygen...")
     sk, pk = backend.keygen(rng)
-    blob = serialize_keys(params, pk)
+    rs = None
+    if args.ring_switch_logn:
+        from ..fhe.ring_switch import new_ring_switch_client
+        rs = new_ring_switch_client(backend, sk, args.ring_switch_logn, rng)
+        blob = serialize_keys(params, pk, rs.evk, rs.k)
+    else:
+        blob = serialize_keys(params, pk)
     req = urllib.request.Request(args.server + "/keys", data=blob, method="POST")
     with urllib.request.urlopen(req) as resp:
         assert resp.read() == b"ok"
@@ -71,7 +81,8 @@ def main(argv=None):
           f"claimed value {value}", flush=True)
 
     span = start_span("Decrypt proof", None, "Decrypt proof...")
-    proof = decrypt_proof(eproof, backend, sk, span)
+    small = (rs.small_backend, rs.sk_small) if rs is not None else None
+    proof = decrypt_proof(eproof, backend, sk, span, small=small)
     span.end(newline=True)
 
     if args.vdec:

@@ -38,6 +38,7 @@ class PpdState:
         self.deterministic = deterministic
         self.backend: BgvBackend | None = None
         self.pk = None
+        self.ring_switch = None   # (evk, k) when the client asked for it
         self.field: PrimeField | None = None
         self.done = threading.Event()
 
@@ -53,9 +54,10 @@ def make_handler(state: PpdState):
                 return
             length = int(self.headers["Content-Length"])
             blob = self.rfile.read(length)
-            params, pk, evk = deserialize_keys(blob)
+            params, pk, evk, rs_k = deserialize_keys(blob)
             state.backend = BgvBackend(params)
             state.pk = pk
+            state.ring_switch = (evk, rs_k) if evk is not None else None
             state.field = PrimeField(params.t, state.cols * state.rho)
             self.send_response(200)
             self.end_headers()
@@ -85,7 +87,8 @@ def make_handler(state: PpdState):
                 np.ascontiguousarray(matrix.T), state.pk, rng)
             committer = LigeroCommitter(128, rows, cols, rho)
             prover = commit(committer, backend, mat_ct, state.pk, rng, field, span)
-            eproof = prove(prover, point, Transcript("ppd"), span)
+            eproof = prove(prover, point, Transcript("ppd"), span,
+                           ring_switch=state.ring_switch)
             span.end(newline=True)
 
             value = evaluate_matrix_poly(matrix, point, field)

@@ -58,12 +58,15 @@ def deserialize_params(data: bytes, off: int = 0):
 
 
 def serialize_keys(params: BgvParams, pk: PublicKey,
-                   rs_evk: SwitchingKey | None = None) -> bytes:
+                   rs_evk: SwitchingKey | None = None,
+                   rs_k: int = 0) -> bytes:
+    """rs_evk/rs_k: optional ring-switch evaluation key and subsample
+    stride k = N / N' (reference cmd/client/main.go:112-129)."""
     out = [MAGIC, serialize_params(params),
            _dump_u64(pk.pk0_ntt), _dump_u64(pk.pk1_ntt)]
     if rs_evk is not None:
         out.append(b"\x01")
-        out.append(struct.pack("<BB", rs_evk.alpha, rs_evk.level))
+        out.append(struct.pack("<BBH", rs_evk.alpha, rs_evk.level, rs_k))
         out.append(_dump_u64(rs_evk.ksk0))
         out.append(_dump_u64(rs_evk.ksk1))
     else:
@@ -79,10 +82,11 @@ def deserialize_keys(data: bytes):
     has_evk = data[off]
     off += 1
     evk = None
+    rs_k = 0
     if has_evk:
-        alpha, level = struct.unpack_from("<BB", data, off)
-        off += 2
+        alpha, level, rs_k = struct.unpack_from("<BBH", data, off)
+        off += 4
         k0, off = _load_u64(data, off)
         k1, off = _load_u64(data, off)
         evk = SwitchingKey(ksk0=k0, ksk1=k1, alpha=alpha, level=level)
-    return params, PublicKey(pk0_ntt=pk0, pk1_ntt=pk1), evk
+    return params, PublicKey(pk0_ntt=pk0, pk1_ntt=pk1), evk, rs_k

@@ -173,8 +173,16 @@ def prove(
     point: int,
     transcript: Transcript,
     ctx: Span | None = None,
+    ring_switch: tuple | None = None,
 ) -> EncryptedProof:
-    """Homomorphic prove (reference fhe/ligero.go:194-291)."""
+    """Homomorphic prove (reference fhe/ligero.go:194-291).
+
+    ring_switch: optional (evk, k) from the client (wire.py): MatR/MatZ
+    are switched to the N/k-degree ring before shipping (reference
+    fhe/ligero.go:336-342) — 8-32x smaller inner-product cts. Unlike the
+    reference (which must skip verification in this mode,
+    README.md:100-104), our c0-decode survives the switch and the proof
+    still verifies (fhe/ring_switch.py docstring)."""
     backend = prover.backend
     meta = prover.committer.meta
     field = prover.field
@@ -196,6 +204,14 @@ def prove(
         mat_r = CtBatch(data=mr1, level=1)
         mat_z = CtBatch(data=mz1, level=1)
         mat_r.data.block_until_ready()
+
+    if ring_switch is not None:
+        evk, k = ring_switch
+        with start_span("Ring switch MatR/MatZ", ctx):
+            from .ring_switch import ring_switch_batch
+            mat_r = ring_switch_batch(backend, mat_r, evk, k)
+            mat_z = ring_switch_batch(backend, mat_z, evk, k)
+            mat_r.data.block_until_ready()
 
     transcript.append_field("point", point)
 
@@ -219,9 +235,15 @@ def decrypt_proof(
     backend: BgvBackend,
     sk: SecretKey,
     ctx: Span | None = None,
+    small: tuple | None = None,
 ) -> Proof:
     """Client decrypt (reference fhe/ligero.go:381-502) -> plaintext Proof
-    consumable by core.ligero_plain.verify."""
+    consumable by core.ligero_plain.verify.
+
+    small: optional (small_backend, sk_small) when the server ring-
+    switched MatR/MatZ; the c0 decode is unchanged (value = N_big * c0:
+    the sum-slots factor is the BIG ring degree, preserved by the
+    switch)."""
     meta = eproof.meta
     t = backend.t
     n = backend.n
@@ -239,8 +261,9 @@ def decrypt_proof(
                 leaf_bytes=ct_leaf_bytes(leaf_np, i)))
 
     with start_span("Decrypt row inner products", ctx):
-        c0_r = np.asarray(backend.decrypt_c0(eproof.mat_r, sk))
-        c0_z = np.asarray(backend.decrypt_c0(eproof.mat_z, sk))
+        mat_backend, mat_sk = (backend, sk) if small is None else small
+        c0_r = np.asarray(mat_backend.decrypt_c0(eproof.mat_r, mat_sk))
+        c0_z = np.asarray(mat_backend.decrypt_c0(eproof.mat_z, mat_sk))
         mat_r = np.array([int(x) * n % t for x in c0_r], dtype=np.uint64)
         mat_z = np.array([int(x) * n % t for x in c0_z], dtype=np.uint64)
         # value = N * c0; decode folds N back in (sum-slots identity). The

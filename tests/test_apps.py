@@ -44,10 +44,10 @@ def test_wire_roundtrip():
     rng = np.random.default_rng(3)
     sk, pk = backend.keygen(rng)
     blob = serialize_keys(params, pk)
-    params2, pk2, evk = deserialize_keys(blob)
+    params2, pk2, evk, rs_k = deserialize_keys(blob)
     assert params2 == params
     assert np.array_equal(np.asarray(pk2.pk0_ntt), np.asarray(pk.pk0_ntt))
-    assert evk is None
+    assert evk is None and rs_k == 0
 
 
 def test_http_ppd_end_to_end(served):
@@ -76,3 +76,38 @@ def test_http_ppd_end_to_end(served):
         backend, eproof.queried_cols, vals, eproof.queried_scales,
         sk, Transcript("vdec"))
     assert st.q_modulus > 1 << 100
+
+
+def test_http_ppd_ring_switched(served):
+    """Ring-switched MatR/MatZ (reference RING_SWITCH_LOGN): the proof
+    shrinks AND still verifies (the reference must skip verification,
+    README.md:100-104)."""
+    from lumenos_tpu.fhe.ring_switch import new_ring_switch_client
+
+    params = generate_bgv_params_for_ntt(COLS, LOG_N, T)
+    backend = BgvBackend(params)
+    field = PrimeField(T, COLS * RHO)
+    rng = np.random.default_rng(777)
+    sk, pk = backend.keygen(rng)
+    rs = new_ring_switch_client(backend, sk, LOG_N - 2, rng)
+
+    blob = serialize_keys(params, pk, rs.evk, rs.k)
+    params2, pk2, evk2, rs_k2 = deserialize_keys(blob)
+    assert evk2 is not None and rs_k2 == rs.k
+
+    req = urllib.request.Request(served + "/keys", data=blob, method="POST")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.read() == b"ok"
+    with urllib.request.urlopen(f"{served}/prove?point={POINT}") as resp:
+        payload = resp.read()
+    value = struct.unpack_from("<Q", payload, 0)[0]
+    eproof = EncryptedProof.from_bytes(payload[8:])
+
+    n_small = 1 << (LOG_N - 2)
+    assert eproof.mat_r.data.shape[-1] == n_small
+    assert eproof.mat_z.data.shape[-1] == n_small
+    assert eproof.queried_cols.data.shape[-1] == 1 << LOG_N  # Merkle-bound
+
+    proof = decrypt_proof(eproof, backend, sk,
+                          small=(rs.small_backend, rs.sk_small))
+    verify(proof, POINT, value, field, Transcript("ppd"), fhe_leaf_hasher)
