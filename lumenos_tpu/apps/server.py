@@ -93,6 +93,11 @@ def make_handler(state: PpdState):
 
             value = evaluate_matrix_poly(matrix, point, field)
             payload = struct.pack("<Q", value) + eproof.to_bytes()
+            sz = eproof.sizes()
+            parts = " ".join(f"{k}={v / 1e6:.1f}MB" for k, v in sz.items()
+                             if k != "root")
+            print(f"[server] proof sizes: {parts}  "
+                  f"muls={backend.mul_count}")
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Content-Length", str(len(payload)))

@@ -67,6 +67,20 @@ class BgvBackend:
         self.encoder = SlotEncoder(params)
         self.n = params.n
         self.t = params.t
+        # Homomorphic-multiplication counter (reference fhe/bfv.go:34-46).
+        # Batched calls count one mul per ciphertext in the batch so the
+        # number is comparable with the reference's per-ct counting.
+        self.mul_count = 0
+
+    def _count_muls(self, ct: CtBatch) -> None:
+        shape = ct.data.shape
+        n_cts = 1
+        for d in shape[:-3]:
+            n_cts *= int(d)
+        self.mul_count += n_cts
+
+    def reset_mul_count(self) -> None:
+        self.mul_count = 0
 
     # -- table helpers -----------------------------------------------------
 
@@ -285,6 +299,7 @@ class BgvBackend:
         qj, uj, sj = self._consts(ct.level)
         out = barrett_mul(ct.data, jnp.asarray(w_res)[:, None],
                           qj[:, None], uj[:, None], sj[:, None])
+        self._count_muls(ct)
         return replace(ct, data=out)
 
     def mul_coeffs(self, ct: CtBatch, coeffs) -> CtBatch:
@@ -294,6 +309,7 @@ class BgvBackend:
         qj, uj, sj = self._consts(ct.level)
         c = jnp.asarray(coeffs, jnp.uint64)[..., None, :, None]  # [n,1,L+1,1]
         out = barrett_mul(ct.data, c, qj[:, None], uj[:, None], sj[:, None])
+        self._count_muls(ct)
         return replace(ct, data=out)
 
     def mul_plain_ntt(self, ct: CtBatch, pt_ntt) -> CtBatch:
@@ -309,6 +325,7 @@ class BgvBackend:
         else:
             pt = pt[:, None]
         prod = barrett_mul(d_ntt, pt, q2, uj[:, None], sj[:, None])
+        self._count_muls(ct)
         return replace(ct, data=self._intt(prod, lvl))
 
     # -- rescale (rounded division by the top prime) -----------------------

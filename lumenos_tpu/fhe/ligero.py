@@ -64,6 +64,24 @@ class EncryptedProof:
 
     # -- serialization (framework wire format) -----------------------------
 
+    def sizes(self) -> dict:
+        """Per-component marshaled byte sizes (reference fhe/ligero.go:672-692
+        logs humanized sizes while marshalling)."""
+        def batch_bytes(batch):
+            n = 1
+            for d in batch.data.shape:
+                n *= int(d)
+            return n * 8
+        s = {
+            "mat_r": batch_bytes(self.mat_r),
+            "mat_z": batch_bytes(self.mat_z),
+            "queried_cols": batch_bytes(self.queried_cols),
+            "merkle_paths": sum(32 * len(p) for p in self.merkle_paths),
+            "root": 32,
+        }
+        s["total"] = sum(s.values())
+        return s
+
     def to_bytes(self) -> bytes:
         out = [self.meta.to_bytes()]
         for batch in (self.mat_r, self.mat_z, self.queried_cols):
@@ -159,6 +177,12 @@ def commit(
         scales = ligero_ntt_scales(field.modulus, field.n,
                                    meta.cols * meta.rho_inv)
         encoded.data.block_until_ready()
+        # the fused encode program performs one ct x scalar cofactor mul
+        # per position per schedule layer (reference counts these via
+        # evaluator Mul, fhe/bfv.go:34-46)
+        from .hsched import unit_schedule
+        size = meta.cols * meta.rho_inv
+        backend.mul_count += unit_schedule(field, size, size).n_layers * size
     with start_span("Merkle tree built", ctx):
         leaf_data = np.asarray(encoded.data)
         tree = FastMerkleTree(hash_ct_leaves_striped(leaf_data))
@@ -204,6 +228,7 @@ def prove(
         mat_r = CtBatch(data=mr1, level=1)
         mat_z = CtBatch(data=mz1, level=1)
         mat_r.data.block_until_ready()
+        backend.mul_count += 2 * cols   # one ct x pt per column per challenge
 
     if ring_switch is not None:
         evk, k = ring_switch
