@@ -191,7 +191,10 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         t0b = time.perf_counter()
         mr1, mz1 = fn_prod_c(prod_ct.data, pt_r, pt_b)
         mr1.block_until_ready()
-        t_device = t_encode_run + (time.perf_counter() - t0b)
+        t_prod = time.perf_counter() - t0b
+        print(f"[{rows}x{cols}] device split: encode {t_encode_run:.2f}s "
+              f"products {t_prod:.2f}s", file=sys.stderr)
+        t_device = t_encode_run + t_prod
     else:
         enc1, digests = fn_enc_c(full_ct.data)
         enc_scales = None

@@ -358,6 +358,17 @@ class BgvBackend:
         return CtBatch(data=out, level=lvl - 1, is_ntt=False)
 
     def rescale_to(self, ct: CtBatch, target_level: int) -> CtBatch:
+        # Fused Pallas chain (ops/pallas_rescale.py): opt-in until it has
+        # a hardware validation run (Mosaic-compile risk on long unrolled
+        # chains must not be able to stall the driver bench).
+        import os
+        if (os.environ.get("LUMENOS_PALLAS_RESCALE") == "1"
+                and ct.level > target_level and not ct.is_ntt):
+            from ..ops.pallas_rescale import rescale_chain_pallas, rescale_ok
+            if rescale_ok(ct.data.shape, ct.level, target_level):
+                data = rescale_chain_pallas(
+                    ct.data, self.params.q_primes, ct.level, target_level)
+                return CtBatch(data=data, level=target_level, is_ntt=False)
         while ct.level > target_level:
             ct = self.rescale(ct)
         return ct

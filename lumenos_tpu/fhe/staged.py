@@ -173,6 +173,9 @@ class StagedEncode:
 
     def _run_stage_b(self, small):
         """[n1, n2, 2, Lm, N] mid buffer -> [n1, n2, 2, 2, N] cells."""
+        import os
+        import time as _time
+        t0 = _time.perf_counter()
         outs = []
         for i0 in range(0, self.n1, self.chunk_b):
             cw = min(self.chunk_b, self.n1 - i0)
@@ -182,6 +185,10 @@ class StagedEncode:
             outs.append(ob)
         cells = jnp.concatenate(outs, axis=0)
         cells.block_until_ready()
+        if os.environ.get("LUMENOS_STAGED_PROFILE"):
+            import sys
+            print(f"[staged] stage B: {_time.perf_counter() - t0:.2f}s",
+                  file=sys.stderr)
         return cells
 
     def run_streaming(self, make_chunk, n_chunks: int):
@@ -203,6 +210,9 @@ class StagedEncode:
             ("upd", self.size, Lm, n, self.chunk_a),
             jax.jit(lambda b, c, j0: jax.lax.dynamic_update_slice(
                 b, c, (0, j0, 0, 0, 0)), donate_argnums=(0,)))
+        import os
+        import sys
+        prof = os.environ.get("LUMENOS_STAGED_PROFILE")
         for k in range(n_chunks):
             chunk = make_chunk(k)
             chunk.block_until_ready()
@@ -212,11 +222,17 @@ class StagedEncode:
             small.block_until_ready()
             t_dev += _time.perf_counter() - t0
             del chunk, out
+        if prof:
+            print(f"[staged] stage A total: {t_dev:.2f}s", file=sys.stderr)
         t0 = _time.perf_counter()
         cells = self._run_stage_b(small)
         del small
+        t1 = _time.perf_counter()
         flat, digests = _finalize_fn(self.size, backend.n)(cells)
         flat.block_until_ready()
+        if prof:
+            print(f"[staged] finalize+digests: "
+                  f"{_time.perf_counter() - t1:.2f}s", file=sys.stderr)
         t_dev += _time.perf_counter() - t0
         return CtBatch(data=flat, level=1), digests, self.final_scales, t_dev
 
