@@ -108,6 +108,9 @@ def element_column_bytes(col: np.ndarray) -> bytes:
 
 
 def sample_query_indices(transcript: Transcript, queries: int, ext_cols: int) -> list[int]:
+    # `% ext_cols` has modulo bias for non-power-of-2 ext_cols; this is
+    # DELIBERATE parity with the reference (fhe/ligero.go:638-644), which
+    # does the same — matching indices are required for proof agreement.
     return [transcript.sample_uint64("query") % ext_cols for _ in range(queries)]
 
 

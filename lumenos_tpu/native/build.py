@@ -54,6 +54,13 @@ def load_native() -> ctypes.CDLL | None:
             lib.lnp_rej_bimodal.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_double, ctypes.c_double]
             lib.lnp_rej_bimodal.restype = ctypes.c_int
             lib.lnp_shake128.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+            _strobe3 = [ctypes.c_void_p,
+                        ctypes.POINTER(ctypes.c_int64),
+                        ctypes.POINTER(ctypes.c_int64)]
+            lib.strobe_run_f.argtypes = _strobe3
+            lib.strobe_absorb.argtypes = _strobe3 + [ctypes.c_void_p, ctypes.c_int64]
+            lib.strobe_overwrite.argtypes = _strobe3 + [ctypes.c_void_p, ctypes.c_int64]
+            lib.strobe_squeeze.argtypes = _strobe3 + [ctypes.c_void_p, ctypes.c_int64]
             lib.abdlop_lift.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]
             lib.abdlop_challenge.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
             lib.abdlop_add.argtypes = [ctypes.c_void_p, ctypes.c_int] + [ctypes.c_void_p]*3 + [ctypes.c_uint64]

@@ -690,6 +690,56 @@ u64 find_aux_prime(unsigned n, u64 below) {
   return cand;
 }
 
+// ---- STROBE-128 sponge block ops (merlin transcript hot path) -------------
+// Bit-exact twins of core/transcript.py Strobe128._absorb/_overwrite/
+// _squeeze/_run_f (rate 166); Python keeps the op-framing logic and calls
+// these for the byte loops + Keccak permutations (round-1 VERDICT weak #7:
+// sampling 8192 challenges was thousands of pure-Python keccak calls).
+
+static const int64_t STROBE_R = 166;
+
+static inline void strobe_run_f_inner(uint8_t st[200], int64_t* pos,
+                                      int64_t* pos_begin) {
+  st[*pos] ^= (uint8_t)(*pos_begin);
+  st[*pos + 1] ^= 0x04;
+  st[STROBE_R + 1] ^= 0x80;
+  keccakf(reinterpret_cast<u64*>(st));
+  *pos = 0;
+  *pos_begin = 0;
+}
+
+void strobe_run_f(uint8_t st[200], int64_t* pos, int64_t* pos_begin) {
+  strobe_run_f_inner(st, pos, pos_begin);
+}
+
+void strobe_absorb(uint8_t st[200], int64_t* pos, int64_t* pos_begin,
+                   const uint8_t* data, int64_t len) {
+  for (int64_t i = 0; i < len; i++) {
+    st[*pos] ^= data[i];
+    (*pos)++;
+    if (*pos == STROBE_R) strobe_run_f_inner(st, pos, pos_begin);
+  }
+}
+
+void strobe_overwrite(uint8_t st[200], int64_t* pos, int64_t* pos_begin,
+                      const uint8_t* data, int64_t len) {
+  for (int64_t i = 0; i < len; i++) {
+    st[*pos] = data[i];
+    (*pos)++;
+    if (*pos == STROBE_R) strobe_run_f_inner(st, pos, pos_begin);
+  }
+}
+
+void strobe_squeeze(uint8_t st[200], int64_t* pos, int64_t* pos_begin,
+                    uint8_t* out, int64_t len) {
+  for (int64_t i = 0; i < len; i++) {
+    out[i] = st[*pos];
+    st[*pos] = 0;
+    (*pos)++;
+    if (*pos == STROBE_R) strobe_run_f_inner(st, pos, pos_begin);
+  }
+}
+
 }  // extern "C"
 
 namespace {
