@@ -217,18 +217,24 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     else:
         enc1, digests = fn_enc_c(full_ct.data)
         enc_scales = None
-        mr1, mz1 = fn_prod_c(prod_ct.data, pt_r, pt_b)
         enc1.block_until_ready()
+        # same overlapped tail as the staged branch: async d2h of the
+        # queried columns rides under the products + host Merkle fold
+        tr.append_field("point", point)
+        idxs = sample_query_indices(tr, committer.meta.queries, cols * rho)
+        leaf_dev = enc1[jnp.asarray(np.array(idxs))]
+        try:
+            leaf_dev.copy_to_host_async()
+        except Exception:
+            pass
+        mr1, mz1 = fn_prod_c(prod_ct.data, pt_r, pt_b)
         mr1.block_until_ready()
         t_device = time.perf_counter() - t0
         t1 = time.perf_counter()
         tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
         t_merkle = time.perf_counter() - t1
         t2 = time.perf_counter()
-        tr.append_field("point", point)
-        idxs = sample_query_indices(tr, committer.meta.queries, cols * rho)
-        # open queried columns: device gather, transfer only ~queries leaves
-        leaf_np = np.asarray(enc1[jnp.asarray(np.array(idxs))])
+        leaf_np = np.asarray(leaf_dev)
         paths = [tree.get_path(i) for i in idxs]
         t_query = time.perf_counter() - t2
 
