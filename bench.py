@@ -177,6 +177,34 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     # timed run: full server prove = device programs (encode + fused leaf
     # digests + inner products) + host tree fold + query openings
     from lumenos_tpu.ops.sha256_jax import digests_to_bytes
+
+    def overlapped_tail(enc1, digests, prod_data):
+        """Products + Merkle fold + query openings, with the queried-column
+        device->host transfer riding concurrently. Sound: query indices
+        depend only on transcript state BEFORE the products (same order
+        as fhe/ligero.py prove and the reference prover).
+        Returns (t_prod, t_merkle, t_query, idxs, leaf_np, paths)."""
+        t0b = time.perf_counter()
+        tr.append_field("point", point)
+        idxs = sample_query_indices(tr, committer.meta.queries, cols * rho)
+        leaf_dev = enc1[jnp.asarray(np.array(idxs))]
+        try:
+            leaf_dev.copy_to_host_async()
+        except Exception:   # backend without async d2h: sync np.asarray below
+            pass
+        mr1, mz1 = fn_prod_c(prod_data, pt_r, pt_b)
+        mr1.block_until_ready()
+        t1 = time.perf_counter()
+        t_prod = t1 - t0b
+        overlapped_tail.t_prod_done = t1
+        tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
+        t_merkle = time.perf_counter() - t1
+        t2 = time.perf_counter()
+        leaf_np = np.asarray(leaf_dev)
+        paths = [tree.get_path(i) for i in idxs]
+        return (t_prod, t_merkle, time.perf_counter() - t2, idxs, leaf_np,
+                paths)
+
     t0 = time.perf_counter()
     if staged is not None:
         enc_ct, digests, enc_scales, t_encode_run = staged.run_streaming(
@@ -189,54 +217,19 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         prod_ct.data.block_until_ready()
         print(f"(prod encrypt, not counted: {time.perf_counter()-te:.1f}s)",
               file=sys.stderr)
-        # Overlapped tail: the queried-column device->host transfer rides
-        # concurrently with the inner products + host Merkle fold. Sound:
-        # query indices depend only on the transcript state before the
-        # products (fhe/ligero.py prove order, matching the reference).
-        t0b = time.perf_counter()
-        tr.append_field("point", point)
-        idxs = sample_query_indices(tr, committer.meta.queries, cols * rho)
-        leaf_dev = enc1[jnp.asarray(np.array(idxs))]
-        try:
-            leaf_dev.copy_to_host_async()
-        except Exception:   # backend without async d2h: sync fallback below
-            pass
-        mr1, mz1 = fn_prod_c(prod_ct.data, pt_r, pt_b)
-        mr1.block_until_ready()
-        t_prod = time.perf_counter() - t0b
-        t1 = time.perf_counter()
-        tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
-        t_merkle = time.perf_counter() - t1
-        t2 = time.perf_counter()
-        leaf_np = np.asarray(leaf_dev)
-        paths = [tree.get_path(i) for i in idxs]
-        t_query = time.perf_counter() - t2
+        t_prod, t_merkle, t_query, idxs, leaf_np, paths = overlapped_tail(
+            enc1, digests, prod_ct.data)
         print(f"[{rows}x{cols}] device split: encode {t_encode_run:.2f}s "
               f"products(+transfer overlap) {t_prod:.2f}s", file=sys.stderr)
         t_device = t_encode_run + t_prod
     else:
         enc1, digests = fn_enc_c(full_ct.data)
         enc_scales = None
-        enc1.block_until_ready()
-        # same overlapped tail as the staged branch: async d2h of the
-        # queried columns rides under the products + host Merkle fold
-        tr.append_field("point", point)
-        idxs = sample_query_indices(tr, committer.meta.queries, cols * rho)
-        leaf_dev = enc1[jnp.asarray(np.array(idxs))]
-        try:
-            leaf_dev.copy_to_host_async()
-        except Exception:
-            pass
-        mr1, mz1 = fn_prod_c(prod_ct.data, pt_r, pt_b)
-        mr1.block_until_ready()
-        t_device = time.perf_counter() - t0
-        t1 = time.perf_counter()
-        tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
-        t_merkle = time.perf_counter() - t1
-        t2 = time.perf_counter()
-        leaf_np = np.asarray(leaf_dev)
-        paths = [tree.get_path(i) for i in idxs]
-        t_query = time.perf_counter() - t2
+        # no block on enc1: the tail's gather/products enqueue behind the
+        # encode on the device stream while the host samples the queries
+        t_prod, t_merkle, t_query, idxs, leaf_np, paths = overlapped_tail(
+            enc1, digests, prod_ct.data)
+        t_device = overlapped_tail.t_prod_done - t0
 
     spot_ok = None
     if check:

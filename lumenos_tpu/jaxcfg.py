@@ -25,36 +25,17 @@ _plat = "cpu" if _plat == "cpu" else "tpu"
 _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def host_fingerprint() -> str:
-    """Short hash of the host CPU feature set.
-
-    CPU AOT artifacts are machine-feature-specific: loading a cache entry
-    compiled on a host with (say) AMX/prefer-no-scatter onto a host without
-    them makes XLA spin or SIGILL (observed: pytest hung >10 min loading
-    stale entries). The bench/test hosts change between sessions, so the
-    CPU cache dir is keyed by this fingerprint; TPU executables run on the
-    same physical chip regardless of host, so the tpu cache is shared.
-    """
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha256(
-                        " ".join(sorted(line.split()[2:])).encode()
-                    ).hexdigest()[:10]
-    except OSError:
-        pass
-    import platform
-    return hashlib.sha256(platform.processor().encode()).hexdigest()[:10]
-
+# CPU AOT cache artifacts are machine-feature-specific (see _hostfp):
+# the DEFAULT cpu cache dir is keyed by the host fingerprint. An
+# explicitly set LUMENOS_JAX_CACHE is honored verbatim - callers wanting
+# per-host isolation append _hostfp.host_fingerprint() themselves (as
+# tests/conftest.py does).
+from ._hostfp import host_fingerprint  # noqa: E402
 
 _default = os.path.join(_repo_root, ".jax_cache", _plat)
 if _plat == "cpu":
     _default += "-" + host_fingerprint()
 _cache_dir = os.environ.get("LUMENOS_JAX_CACHE", _default)
-if _plat == "cpu" and os.environ.get("LUMENOS_JAX_CACHE"):
-    _cache_dir = _cache_dir + "-" + host_fingerprint()
 try:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

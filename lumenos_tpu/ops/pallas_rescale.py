@@ -160,8 +160,12 @@ def rescale_chain_pallas(x, q_primes, level: int, target: int, *,
     B = 1
     for d in lead:
         B *= int(d)
+    # largest 128-multiple block <= cblk that divides N (N % 128 == 0 is
+    # guaranteed by rescale_ok; e.g. N = 640 -> cblk = 128)
     cblk = min(cblk, N)
-    assert N % cblk == 0 and B % 8 == 0
+    while N % cblk:
+        cblk -= 128
+    assert cblk >= 128 and N % cblk == 0 and B % 8 == 0
     steps = _chain_consts(q_primes, level, target)
 
     xt = jnp.moveaxis(jnp.asarray(x, jnp.uint64).reshape(B, L1, N), 1, 0)

@@ -22,7 +22,12 @@ os.environ.setdefault(
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("LUMENOS_JAX_CACHE", "/tmp/lumenos_jax_cache_cpu")
+# per-host cache dir: stale AOT artifacts from another host hang XLA
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from lumenos_tpu._hostfp import host_fingerprint  # noqa: E402
+
+os.environ.setdefault("LUMENOS_JAX_CACHE",
+                      "/tmp/lumenos_jax_cache_cpu-" + host_fingerprint())
 
 import jax
 
