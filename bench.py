@@ -262,6 +262,17 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
 
     ref = REFERENCE.get((rows, cols), {}).get("prove_total")
     vs = (ref / total) if ref else 0.0
+    # BASELINE.json metric "NTT butterflies/s/chip": one butterfly =
+    # one Shoup mulmod + one modular add per (position, poly, limb,
+    # coeff) lane of one schedule layer of the homomorphic encode.
+    import math
+    if staged is not None:
+        n_bf = (ext_cols * n * 2
+                * (math.log2(staged.n1) * (staged.level + 1)
+                   + math.log2(staged.n2) * (staged.mid + 1)))
+    else:
+        n_bf = ext_cols * n * 2 * math.log2(ext_cols) * (start_level + 1)
+    enc_s = t_encode_run if staged is not None else t_device
     return {
         "logn": log_n,
         "total_s": round(total, 3),
@@ -272,6 +283,8 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         "vs_baseline": round(vs, 2),
         "spot_check": spot_ok,
         "reference_s": ref,
+        "butterfly_mulmods_per_s": round(n_bf / max(enc_s, 1e-9), 0),
+        "mul_count": backend.mul_count,
     }
 
 
