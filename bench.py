@@ -110,9 +110,25 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     # staged two-pass encode for batches whose monolithic program exceeds
     # HBM liveness (DESIGN.md section 7 / fhe/staged.py)
     staged = None
+    use_cells = False
+    n_blocks = 1
     if ext_cols * 2 * (start_level + 1) * n * 8 > 1.5e9:
         from lumenos_tpu.fhe.staged import StagedEncode
         staged = StagedEncode(backend, field, ext_cols, start_level)
+        # cells mode (no flat copy, blocked mid) when flat-mode peak
+        # (2x output copy + whole mid buffer) would crowd 16 GB HBM
+        cells_bytes = ext_cols * 2 * 2 * n * 8
+        mid_bytes = ext_cols * 2 * (staged.mid + 1) * n * 8
+        use_cells = 2 * cells_bytes + mid_bytes > 11e9
+        if use_cells:
+            # input chunk <= ~0.8 GB; mid block <= ~2 GB (both powers of 2)
+            ca = max(1, int(0.8e9 // (staged.n1 * 2 * (start_level + 1) * n * 8)))
+            while ca & (ca - 1):
+                ca &= ca - 1
+            staged.chunk_a = min(max(ca, 1), staged.n2)
+            n_blocks = 1
+            while mid_bytes / n_blocks > 2e9 and n_blocks < staged.n1:
+                n_blocks *= 2
     enc_chunk = staged.n1 * staged.chunk_a if staged else 512
     for lvl, nn in ((start_level, enc_chunk), (prod_level, 1024)):
         sds = lambda *s, dt=np.int64: jax.ShapeDtypeStruct(s, dt)
@@ -123,7 +139,10 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             sds(nn, lvl + 1, n, dt=u64),
             sds(lvl + 1, n, dt=u64), sds(lvl + 1, n, dt=u64)).compile()
     if staged is not None:
-        staged.precompile()
+        if use_cells:
+            staged.precompile_cells(n_blocks)
+        else:
+            staged.precompile()
         fn_enc_c = None
     else:
         fn_enc = build_encode_pipeline_full(backend, field, ext_cols, start_level)
@@ -178,16 +197,17 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     # digests + inner products) + host tree fold + query openings
     from lumenos_tpu.ops.sha256_jax import digests_to_bytes
 
-    def overlapped_tail(enc1, digests, prod_data):
+    def overlapped_tail(gather, digests, prod_data):
         """Products + Merkle fold + query openings, with the queried-column
         device->host transfer riding concurrently. Sound: query indices
         depend only on transcript state BEFORE the products (same order
         as fhe/ligero.py prove and the reference prover).
+        `gather(positions) -> [k, 2, 2, N]` device array.
         Returns (t_prod, t_merkle, t_query, idxs, leaf_np, paths)."""
         t0b = time.perf_counter()
         tr.append_field("point", point)
         idxs = sample_query_indices(tr, committer.meta.queries, cols * rho)
-        leaf_dev = enc1[jnp.asarray(np.array(idxs))]
+        leaf_dev = gather(idxs)
         try:
             leaf_dev.copy_to_host_async()
         except Exception:   # backend without async d2h: sync np.asarray below
@@ -207,10 +227,18 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
 
     t0 = time.perf_counter()
     if staged is not None:
-        enc_ct, digests, enc_scales, t_encode_run = staged.run_streaming(
-            make_chunk, staged.n2 // staged.chunk_a)
-        enc1 = enc_ct.data
-        enc1.block_until_ready()
+        if use_cells:
+            cells_blocks, digests, enc_scales, t_encode_run = \
+                staged.run_streaming_cells(
+                    make_chunk, staged.n2 // staged.chunk_a,
+                    n_blocks=n_blocks)
+            gather = lambda ps: staged.gather_positions(cells_blocks, ps)
+        else:
+            enc_ct, digests, enc_scales, t_encode_run = staged.run_streaming(
+                make_chunk, staged.n2 // staged.chunk_a)
+            enc1 = enc_ct.data
+            enc1.block_until_ready()
+            gather = lambda ps: enc1[jnp.asarray(np.array(ps))]
         te = time.perf_counter()
         prod_ct = encrypt_big_batch(backend, np.ascontiguousarray(matrix.T),
                                     pk, rng, prod_level, chunk=1024)
@@ -218,17 +246,18 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         print(f"(prod encrypt, not counted: {time.perf_counter()-te:.1f}s)",
               file=sys.stderr)
         t_prod, t_merkle, t_query, idxs, leaf_np, paths = overlapped_tail(
-            enc1, digests, prod_ct.data)
+            gather, digests, prod_ct.data)
         print(f"[{rows}x{cols}] device split: encode {t_encode_run:.2f}s "
               f"products(+transfer overlap) {t_prod:.2f}s", file=sys.stderr)
         t_device = t_encode_run + t_prod
     else:
         enc1, digests = fn_enc_c(full_ct.data)
         enc_scales = None
+        gather = lambda ps: enc1[jnp.asarray(np.array(ps))]
         # no block on enc1: the tail's gather/products enqueue behind the
         # encode on the device stream while the host samples the queries
         t_prod, t_merkle, t_query, idxs, leaf_np, paths = overlapped_tail(
-            enc1, digests, prod_ct.data)
+            gather, digests, prod_ct.data)
         t_device = overlapped_tail.t_prod_done - t0
 
     spot_ok = None
@@ -239,7 +268,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         scales = (enc_scales if enc_scales is not None
                   else ligero_ntt_scales(t, field.n, cols * rho))
         check_pos = [0, 1, cols, cols * rho - 1]
-        sub = CtBatch(data=enc1[jnp.asarray(np.array(check_pos))], level=1)
+        sub = CtBatch(data=gather(check_pos), level=1)
         dec = np.asarray(backend.decrypt_values(sub, sk, rows))
         pt_enc = np.asarray(_encode_fn(field, rho)(
             jnp.asarray(matrix[:4, :], jnp.uint64)))  # first 4 rows encoded
@@ -293,7 +322,8 @@ def main() -> None:
     signal.signal(signal.SIGINT, _sig_handler)
     budget = float(os.environ.get("LUMENOS_BENCH_BUDGET", 1500))
     check = not os.environ.get("LUMENOS_BENCH_NOCHECK")
-    cfg_env = os.environ.get("LUMENOS_BENCH_CONFIGS", "2048x1024,8192x4096")
+    cfg_env = os.environ.get("LUMENOS_BENCH_CONFIGS",
+                             "2048x1024,8192x4096,16384x4096")
     # legacy single-config envs still honored
     if os.environ.get("LUMENOS_BENCH_ROWS"):
         cfg_env = (f"{os.environ['LUMENOS_BENCH_ROWS']}x"

@@ -236,6 +236,124 @@ class StagedEncode:
         t_dev += _time.perf_counter() - t0
         return CtBatch(data=flat, level=1), digests, self.final_scales, t_dev
 
+    # -- cells-layout streaming (the LogN=14 / 16384x4096 memory shape) ---
+    #
+    # run_streaming materializes the level-1 output in reference order,
+    # which costs a full permutation copy (2x the output) on top of the
+    # whole mid buffer - fine at 8192 (~2 GB output), fatal at 16384
+    # (~8.6 GB output + ~13 GB mid vs 15.75 GB HBM). This mode:
+    #   - keeps the mid buffer as n_blocks SEPARATE i-blocks, freed one
+    #     by one as stage B consumes them;
+    #   - never materializes the flat reference-order output: the result
+    #     stays in [i, j] cell layout (a list of i-blocks) and the leaf
+    #     digests are permuted to reference order on the host (32 B each);
+    #   - queried columns gather straight from the cell blocks
+    #     (gather_positions), so no consumer needs the flat copy.
+
+    def _stage_bd_fn(self, bw: int):
+        """Stage B + on-device leaf digests for one i-block."""
+        key = ("BD", id(self.backend), self.field.modulus, self.field.n,
+               self.n2, bw, self.mid)
+        if key not in _CACHE:
+            fb = _stage_b_fn(self.backend, self.field, self.n2, bw, self.mid)
+            n = self.backend.n
+
+            def impl(chunk, w, ws):
+                cells = fb(chunk, w, ws)          # [bw, n2, 2, 2, N]
+                leaves = cells.reshape(bw * self.n2, -1)
+                digests = sha256_leaves_striped(leaves, leaves.shape[1] * 8)
+                return cells, digests
+            _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
+        return _CACHE[key]
+
+    def _scatter_fn(self, bw: int, n_blocks: int, Lm: int):
+        """One program: split a stage-A output across the mid blocks."""
+        key = ("SC", self.size, bw, n_blocks, Lm, self.backend.n,
+               self.chunk_a)
+        if key not in _CACHE:
+            def impl(out, j0, *blocks):
+                return tuple(
+                    jax.lax.dynamic_update_slice(
+                        blocks[b], out[b * bw:(b + 1) * bw],
+                        (0, j0, 0, 0, 0))
+                    for b in range(n_blocks))
+            _CACHE[key] = jax.jit(
+                impl, donate_argnums=tuple(range(2, 2 + n_blocks)))
+        return _CACHE[key]
+
+    def ref_to_cell_perm(self) -> np.ndarray:
+        """digest_ref[p] = digest_cells[perm[p]] (cells are i-major)."""
+        p = np.arange(self.size)
+        return (p % self.n1) * self.n2 + p // self.n1
+
+    def gather_positions(self, cells_blocks: list, positions) -> "jnp.ndarray":
+        """Reference-order positions -> [k, 2, 2, N] level-1 cts."""
+        bw = self.n1 // len(cells_blocks)
+        out = []
+        for p in positions:
+            i, j = int(p) % self.n1, int(p) // self.n1
+            out.append(cells_blocks[i // bw][i % bw, j])
+        return jnp.stack(out)
+
+    def precompile_cells(self, n_blocks: int) -> None:
+        """AOT-compile the cells-mode programs before big buffers exist."""
+        import jax as _jax
+        n = self.backend.n
+        L = self.level + 1
+        Lm = self.mid + 1
+        u64 = jnp.uint64
+        bw = self.n1 // n_blocks
+        _stage_a_fn(self.backend, self.field, self.n1, self.chunk_a,
+                    self.level, self.mid).lower(
+            _jax.ShapeDtypeStruct((self.n1, self.chunk_a, 2, L, n), u64)).compile()
+        blk = _jax.ShapeDtypeStruct((bw, self.n2, 2, Lm, n), u64)
+        self._scatter_fn(bw, n_blocks, Lm).lower(
+            _jax.ShapeDtypeStruct((self.n1, self.chunk_a, 2, Lm, n), u64),
+            0, *([blk] * n_blocks)).compile()
+        nl = unit_schedule(self.field, self.n2, self.n2).n_layers
+        wshape = _jax.ShapeDtypeStruct((bw, nl, self.n2, Lm), u64)
+        self._stage_bd_fn(bw).lower(blk, wshape, wshape).compile()
+
+    def run_streaming_cells(self, make_chunk, n_chunks: int,
+                            n_blocks: int = 4):
+        """Returns (cells_blocks, digests_ref [size,8] u32 on host,
+        final_scales, device_seconds). Bit-identical content to
+        run_streaming (tests/test_staged.py cross-checks)."""
+        import time as _time
+        backend = self.backend
+        assert self.n1 % n_blocks == 0
+        bw = self.n1 // n_blocks
+        fa = _stage_a_fn(backend, self.field, self.n1, self.chunk_a,
+                         self.level, self.mid)
+        Lm = self.mid + 1
+        n = backend.n
+        blocks = [jnp.zeros((bw, self.n2, 2, Lm, n), dtype=jnp.uint64)
+                  for _ in range(n_blocks)]
+        scat = self._scatter_fn(bw, n_blocks, Lm)
+        t_dev = 0.0
+        for k in range(n_chunks):
+            chunk = make_chunk(k)
+            chunk.block_until_ready()
+            t0 = _time.perf_counter()
+            out = fa(chunk)
+            blocks = list(scat(out, k * self.chunk_a, *blocks))
+            blocks[-1].block_until_ready()
+            t_dev += _time.perf_counter() - t0
+            del chunk, out
+        t0 = _time.perf_counter()
+        cells_blocks = []
+        dig_parts = []
+        fbd = self._stage_bd_fn(bw)
+        for b in range(n_blocks):
+            cells_b, dig_b = fbd(blocks[b], *self._row_chunk_res(b * bw, bw))
+            dig_parts.append(np.asarray(dig_b))     # [bw*n2, 8] tiny
+            cells_blocks.append(cells_b)
+            blocks[b] = None                         # free this mid block
+        dig_cells = np.concatenate(dig_parts, axis=0)
+        digests_ref = dig_cells[self.ref_to_cell_perm()]
+        t_dev += _time.perf_counter() - t0
+        return cells_blocks, digests_ref, self.final_scales, t_dev
+
     # NOTE: run() (list-based) kept for tests; run_streaming is the
     # memory-minimal production path
 

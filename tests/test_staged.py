@@ -69,3 +69,37 @@ def test_staged_digests_match_leaves(setup):
     leaf_np = np.asarray(out_ct.data)
     for i in range(SIZE):
         assert got[i] == ct_leaf_digest_host(ct_leaf_bytes(leaf_np, i))
+
+
+def test_streaming_cells_matches_run(setup):
+    """Cells-layout streaming (the 16384-config memory shape) must be
+    bit-identical to run(): same level-1 values, same reference-order
+    digests, same scales, and gather_positions must return the same
+    columns as indexing the flat output."""
+    backend, sk, field, ct = setup
+    st = StagedEncode(backend, field, SIZE, start_level=5, mid_level=3,
+                      chunk_a=2, chunk_b=2)
+    grid = ct.data.reshape((st.n1, st.n2) + ct.data.shape[1:])
+    chunks = [jnp.asarray(np.ascontiguousarray(np.asarray(
+        grid[:, j0:j0 + st.chunk_a])))
+        for j0 in range(0, st.n2, st.chunk_a)]
+    flat_ct, digests, scales = st.run(chunks)
+    flat = np.asarray(flat_ct.data)
+
+    def make_chunk(k):
+        return jnp.asarray(np.ascontiguousarray(np.asarray(
+            grid[:, k * st.chunk_a:(k + 1) * st.chunk_a])))
+
+    cells_blocks, dig_ref, scales_c, t_dev = st.run_streaming_cells(
+        make_chunk, st.n2 // st.chunk_a, n_blocks=2)
+    # digests in reference order match the flat path
+    assert np.array_equal(dig_ref, np.asarray(digests))
+    assert [int(x) for x in scales_c] == [int(x) for x in scales]
+    # gathered positions equal flat indexing
+    pos = [0, 1, st.n1, SIZE - 1, 7]
+    got = np.asarray(st.gather_positions(cells_blocks, pos))
+    assert np.array_equal(got, flat[np.array(pos)])
+    # full reassembly: cells (i-major blocks) -> reference order
+    all_cells = np.concatenate([np.asarray(b) for b in cells_blocks], axis=0)
+    reassembled = all_cells.reshape(SIZE, *flat.shape[1:])[st.ref_to_cell_perm()]
+    assert np.array_equal(reassembled, flat)
