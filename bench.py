@@ -112,14 +112,15 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     staged = None
     use_cells = False
     n_blocks = 1
-    if ext_cols * 2 * (start_level + 1) * n * 8 > 1.5e9:
+    force_cells = os.environ.get("LUMENOS_BENCH_FORCE_CELLS") == "1"
+    if force_cells or ext_cols * 2 * (start_level + 1) * n * 8 > 1.5e9:
         from lumenos_tpu.fhe.staged import StagedEncode
         staged = StagedEncode(backend, field, ext_cols, start_level)
         # cells mode (no flat copy, blocked mid) when flat-mode peak
         # (2x output copy + whole mid buffer) would crowd 16 GB HBM
         cells_bytes = ext_cols * 2 * 2 * n * 8
         mid_bytes = ext_cols * 2 * (staged.mid + 1) * n * 8
-        use_cells = 2 * cells_bytes + mid_bytes > 11e9
+        use_cells = force_cells or 2 * cells_bytes + mid_bytes > 11e9
         if use_cells:
             # input chunk <= ~0.8 GB; mid block <= ~2 GB (both powers of 2)
             ca = max(1, int(0.8e9 // (staged.n1 * 2 * (start_level + 1) * n * 8)))
@@ -214,6 +215,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             pass
         mr1, mz1 = fn_prod_c(prod_data, pt_r, pt_b)
         mr1.block_until_ready()
+        backend.mul_count += 2 * cols   # one ct x pt per column per challenge
         t1 = time.perf_counter()
         t_prod = t1 - t0b
         overlapped_tail.t_prod_done = t1
