@@ -358,12 +358,19 @@ class BgvBackend:
         return CtBatch(data=out, level=lvl - 1, is_ntt=False)
 
     def rescale_to(self, ct: CtBatch, target_level: int) -> CtBatch:
-        # Fused Pallas chain (ops/pallas_rescale.py): opt-in until it has
-        # a hardware validation run (Mosaic-compile risk on long unrolled
-        # chains must not be able to stall the driver bench).
+        # Fused Pallas chain (ops/pallas_rescale.py). Enabled when
+        # LUMENOS_PALLAS_RESCALE=1, disabled when =0; with the env unset
+        # it is on only if scripts/check_pallas_rescale.py has written its
+        # validation marker (committed after a hardware PASS) - so an
+        # unvalidated kernel's Mosaic-compile risk can never stall the
+        # driver bench.
         import os
-        if (os.environ.get("LUMENOS_PALLAS_RESCALE") == "1"
-                and ct.level > target_level and not ct.is_ntt):
+        flag = os.environ.get("LUMENOS_PALLAS_RESCALE")
+        enabled = (flag == "1") if flag is not None else os.path.exists(
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))),
+                ".pallas_rescale_ok"))
+        if enabled and ct.level > target_level and not ct.is_ntt:
             from ..ops.pallas_rescale import rescale_chain_pallas, rescale_ok
             if rescale_ok(ct.data.shape, ct.level, target_level):
                 data = rescale_chain_pallas(

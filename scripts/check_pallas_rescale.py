@@ -79,7 +79,14 @@ def main() -> None:
             fn(xd).block_until_ready()
         print(f"{name}: {(time.time() - t0) / 3:.3f} s/iter "
               f"({x.nbytes / 2**30:.1f} GiB in)", flush=True)
-    print("ALL OK", flush=True)
+    # validation marker: backend.rescale_to enables the fast path by
+    # default when this file exists (commit it after a hardware PASS)
+    marker = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".pallas_rescale_ok")
+    with open(marker, "w") as f:
+        f.write(f"validated {time.strftime('%Y-%m-%d %H:%M:%S')} on "
+                f"{jax.default_backend()}\n")
+    print(f"ALL OK - wrote {marker}", flush=True)
 
 
 if __name__ == "__main__":
