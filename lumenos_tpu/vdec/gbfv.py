@@ -164,7 +164,7 @@ class GbfvPodProver(PodProver):
     def __init__(self, statement: PodStatement,
                  params: LnpParams | None = None):
         assert statement.n == GBFV_N
-        assert statement.wrap is not None, \
+        assert statement.sk_signed is None or statement.wrap is not None, \
             "GBFV statements require the native witness path"
         self._red_w = reduction_table_weights()
         super().__init__(statement, params)

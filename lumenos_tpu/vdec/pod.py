@@ -181,25 +181,31 @@ class PodProver:
         self.rej_m4 = float(bim_gamma2M(GAMMA4))
 
         # witness chunks: s, e_k, v_k  (v = (ct0 + ct1 s - dm - e)/Q1,
-        # precomputed by the native statement assembly when available)
-        s = statement.sk_signed.astype(object)
-        chunks = [chunk_big_poly(s, n_big)]
-        vs = []
-        for k in range(self.n_ct):
-            e = statement.noise[k]
-            if statement.wrap is not None:
-                v = statement.wrap[k].astype(object)
-            else:
-                conv = _negacyclic_int(statement.ct1[k], s, n_big)
-                num = statement.ct0[k] + conv - statement.delta_m[k] - e
-                v = np.array([int(x) // q1 for x in num], dtype=object)
-                assert all(int(x) % q1 == 0 for x in num), \
-                    "wrap witness not integral"
-            vs.append(v)
-            chunks.append(chunk_big_poly(e, n_big))
-        for k in range(self.n_ct):
-            chunks.append(chunk_big_poly(vs[k], n_big))
-        self.w_i64 = np.concatenate(chunks).astype(np.int64)
+        # precomputed by the native statement assembly when available).
+        # A witness-free (public) statement skips this: the instance can
+        # then only verify() - the public-verifier capability the
+        # reference lacks (its C prover self-verifies only).
+        if statement.sk_signed is None:
+            self.w_i64 = None
+        else:
+            s = statement.sk_signed.astype(object)
+            chunks = [chunk_big_poly(s, n_big)]
+            vs = []
+            for k in range(self.n_ct):
+                e = statement.noise[k]
+                if statement.wrap is not None:
+                    v = statement.wrap[k].astype(object)
+                else:
+                    conv = _negacyclic_int(statement.ct1[k], s, n_big)
+                    num = statement.ct0[k] + conv - statement.delta_m[k] - e
+                    v = np.array([int(x) // q1 for x in num], dtype=object)
+                    assert all(int(x) % q1 == 0 for x in num), \
+                        "wrap witness not integral"
+                vs.append(v)
+                chunks.append(chunk_big_poly(e, n_big))
+            for k in range(self.n_ct):
+                chunks.append(chunk_big_poly(vs[k], n_big))
+            self.w_i64 = np.concatenate(chunks).astype(np.int64)
 
         # public inputs in residue form: ct1 per big coeff, u per chunk row
         ring = self.ring
@@ -390,6 +396,9 @@ class PodProver:
               ctx: Span | None = None) -> PodProof:
         """seed: PRIVATE prover entropy (None = OS CSPRNG; never derive it
         from the shared transcript — ADVICE round-1 high finding)."""
+        if self.w_i64 is None:
+            raise ValueError("statement is witness-free (public form); "
+                             "only verify() is available")
         ring = self.ring
         p = self.params
         if seed is None:

@@ -40,12 +40,19 @@ class PodStatement:
     ct0: np.ndarray                # [CT_COUNT, N] centered int coeffs (object)
     ct1: np.ndarray
     delta_m: np.ndarray            # [CT_COUNT, N] centered round(Q1*m/t)
-    sk_signed: np.ndarray          # [N] ternary witness
-    noise: np.ndarray              # [CT_COUNT, N] the implied noise e
+    sk_signed: np.ndarray | None   # [N] ternary witness (None: public form)
+    noise: np.ndarray | None       # [CT_COUNT, N] the implied noise e
     noise_bound: int
     wrap: np.ndarray | None = None  # [CT_COUNT, N] i64 wrap witness v
     #   (ct0 + ct1*s - delta_m = noise + Q1*wrap over Z; filled by the
     #   native assembly path, recomputed host-side otherwise)
+
+    def public(self) -> "PodStatement":
+        """Witness-free copy: everything a public verifier needs (the
+        reference has no standalone verifier - its C prover self-verifies,
+        vdec.c:793-850; this is a capability on top)."""
+        from dataclasses import replace
+        return replace(self, sk_signed=None, noise=None, wrap=None)
 
 
 def _crt_center(residues: np.ndarray, qs: list[int]) -> np.ndarray:

@@ -140,3 +140,14 @@ def test_gbfv_rejects_nonempty_masked_eval(gbfv_pod, gbfv_proof):
     bad = copy.copy(gbfv_proof)
     bad.f_eval = np.zeros((1, gbfv_pod.ring.L, 64), np.uint64)
     assert not gbfv_pod.verify(bad)
+
+
+def test_gbfv_public_verifier(gbfv_statement, gbfv_proof):
+    """Witness-free GBFV verifier accepts the proof, rejects tampering."""
+    verifier = GbfvPodProver(gbfv_statement.public())
+    assert verifier.verify(gbfv_proof)
+    import copy
+    bad = copy.copy(gbfv_proof)
+    bad.h = gbfv_proof.h.copy()
+    bad.h[0, 0, 1] ^= 1
+    assert not verifier.verify(bad)

@@ -194,3 +194,20 @@ def test_pod_production_scale():
     bad.z1 = proof.z1.copy()
     bad.z1[5, 5] += 1
     assert not pod.verify(bad)
+
+
+def test_public_verifier(statement, proof):
+    """A verifier built from the WITNESS-FREE statement accepts the proof
+    and rejects tampering (capability beyond the reference, whose C
+    prover only self-verifies - vdec.c:793-850)."""
+    pub = statement.public()
+    assert pub.sk_signed is None and pub.noise is None and pub.wrap is None
+    verifier = PodProver(pub)
+    assert verifier.verify(proof)
+    with pytest.raises(ValueError):
+        verifier.prove(b"nope")
+    import copy
+    bad = copy.copy(proof)
+    bad.z1 = proof.z1.copy()
+    bad.z1[0, 0] += 1
+    assert not verifier.verify(bad)
