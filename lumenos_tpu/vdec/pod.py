@@ -124,6 +124,45 @@ class PodProof:
     z2: np.ndarray                    # [m2, D] signed
     challenge_hash: bytes
 
+    _ARRS = ("z_proj", "h", "w_mask", "f_eval", "v0", "z1", "z2")
+
+    def to_bytes(self) -> bytes:
+        """Wire form for shipping to a public verifier (PodStatement.public
+        + PodProver.verify); the reference never serializes its PoD."""
+        import struct
+        out = [struct.pack("<B", len(self.challenge_hash)),
+               self.challenge_hash]
+        for arr in (self.commitment.t_a, self.commitment.t_b) + tuple(
+                getattr(self, f) for f in self._ARRS):
+            a = np.ascontiguousarray(arr)
+            ds = a.dtype.str.encode()
+            out.append(struct.pack("<B", len(ds)))
+            out.append(ds)
+            out.append(struct.pack("<B", a.ndim))
+            out.append(struct.pack(f"<{a.ndim}I", *a.shape))
+            out.append(a.tobytes())
+        return b"".join(out)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "PodProof":
+        import struct
+        off = 0
+        hl = data[off]; off += 1
+        challenge_hash = data[off:off + hl]; off += hl
+        arrs = []
+        for _ in range(2 + len(cls._ARRS)):
+            dl = data[off]; off += 1
+            dt = np.dtype(data[off:off + dl].decode()); off += dl
+            nd = data[off]; off += 1
+            shape = struct.unpack_from(f"<{nd}I", data, off); off += 4 * nd
+            nb = dt.itemsize * int(np.prod(shape, dtype=np.int64))
+            arrs.append(np.frombuffer(
+                data[off:off + nb], dtype=dt).reshape(shape).copy())
+            off += nb
+        return cls(commitment=AbdlopCommitment(t_a=arrs[0], t_b=arrs[1]),
+                   challenge_hash=challenge_hash,
+                   **dict(zip(cls._ARRS, arrs[2:])))
+
 
 class PodProver:
     """Prove/verify decryption of the digit-batched ciphertexts."""

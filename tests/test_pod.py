@@ -211,3 +211,13 @@ def test_public_verifier(statement, proof):
     bad.z1 = proof.z1.copy()
     bad.z1[0, 0] += 1
     assert not verifier.verify(bad)
+
+
+def test_proof_wire_roundtrip(statement, proof):
+    """Serialized proof re-verifies under the public verifier."""
+    blob = proof.to_bytes()
+    proof2 = type(proof).from_bytes(blob)
+    assert proof2.challenge_hash == proof.challenge_hash
+    verifier = PodProver(statement.public())
+    assert verifier.verify(proof2)
+    print(f"PoD proof size: {len(blob)} bytes")
