@@ -86,12 +86,40 @@ def main(argv=None):
     span.end(newline=True)
 
     if args.vdec:
+        # full PoD: RLC batch -> witness -> lattice proof -> wire -> a
+        # PUBLIC verifier re-checks it (reference ProveDecrypt flow,
+        # fhe/ligero.go:504; our verifier needs no witness)
         span = start_span("Verifiable decrypt", None, "Verifiable decrypt...")
+        from ..vdec.prover import prove_and_verify_pod
+        from ..vdec.pod import PodProof, PodProver
         vals = np.stack([qc.values for qc in proof.queried_cols])
-        prove_bfv_dec_batched(
-            backend, eproof.queried_cols, vals, eproof.queried_scales,
-            sk, Transcript("vdec"), span)
-        span.end()
+        try:
+            st, pod_proof = prove_and_verify_pod(
+                backend, eproof.queried_cols, vals, eproof.queried_scales,
+                sk, Transcript("vdec"), span)
+        except ValueError as e:
+            # toy demo dimensions: the 256-dim projection argument needs
+            # production ring degrees (the reference's vdec likewise
+            # assumes degree >= 2048, vdec/prover.go:64). Fall back to
+            # statement assembly + exact witness check.
+            if "statistically complete" not in str(e):
+                raise
+            print(f"[client] full PoD skipped at demo dims ({e}); "
+                  "running witness check only", flush=True)
+            prove_bfv_dec_batched(
+                backend, eproof.queried_cols, vals, eproof.queried_scales,
+                sk, Transcript("vdec"), span)
+            span.end()
+        else:
+            blob = pod_proof.to_bytes()
+            public_ok = PodProver(st.public()).verify(
+                PodProof.from_bytes(blob))
+            span.end()
+            print(f"[client] PoD proof {len(blob) / 1e6:.2f} MB, public "
+                  f"verification {'OK' if public_ok else 'FAILED'}",
+                  flush=True)
+            if not public_ok:
+                raise SystemExit("PoD public verification failed")
 
     span = start_span("Verify proof", None)
     verify(proof, args.point, value, field, Transcript("ppd"), fhe_leaf_hasher)
