@@ -13,7 +13,24 @@ on the accelerator.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from functools import cached_property, lru_cache
+from functools import cached_property, wraps
+
+
+def _instance_cache(fn):
+    """Per-instance memoization for methods. Unlike ``lru_cache`` on a
+    method - whose class-level cache keys on ``self`` and pins up to
+    maxsize backends (and the device constants captured by their jitted
+    programs) alive past their last user reference - the cache dict
+    lives on the instance, so dropping the backend frees everything."""
+    name = "_cache_" + fn.__name__
+
+    @wraps(fn)
+    def wrapper(self, *args):
+        cache = self.__dict__.setdefault(name, {})
+        if args not in cache:
+            cache[args] = fn(self, *args)
+        return cache[args]
+    return wrapper
 
 import numpy as np
 
@@ -27,6 +44,7 @@ from .ring import ntt_fwd, ntt_inv, barrett_mul, add_rns, sub_rns
 from ..ops.modmath import mul64wide, _u64
 
 SIGMA_ERR = 3.19  # discrete gaussian std-dev (lattigo default Xe)
+_RESCALE_MARKER = None  # cached marker-file stat (see rescale_to)
 ERR_BOUND = 19
 
 
@@ -107,7 +125,7 @@ class BgvBackend:
 
     # -- key generation ----------------------------------------------------
 
-    @lru_cache(maxsize=2)
+    @_instance_cache
     def _keygen_jit(self):
         """One jitted program for the whole keygen computation.
 
@@ -149,7 +167,7 @@ class BgvBackend:
 
     # -- encryption --------------------------------------------------------
 
-    @lru_cache(maxsize=8)
+    @_instance_cache
     def _encrypt_jit(self, lvl: int):
         def impl(u, e0, e1, delta_m, pk0, pk1):
             qj, uj, sj = self._consts(lvl)
@@ -181,7 +199,7 @@ class BgvBackend:
             u, e0, e1, delta_m, pk.pk0_ntt[: lvl + 1], pk.pk1_ntt[: lvl + 1])
         return CtBatch(data=data, level=lvl)
 
-    @lru_cache(maxsize=8)
+    @_instance_cache
     def _encode_embed_jit(self, lvl: int):
         def impl(values):
             poly_t = self.encoder.encode(values)
@@ -199,7 +217,7 @@ class BgvBackend:
 
     # -- decryption --------------------------------------------------------
 
-    @lru_cache(maxsize=None)
+    @_instance_cache
     def _decrypt_consts(self, level: int):
         """HPS scale-and-round constants: omega_i mod t, theta_i as 2^64 fixed."""
         p = self.params
@@ -256,7 +274,7 @@ class BgvBackend:
         m = (isum + frac_round % t_arr) % t_arr
         return m
 
-    @lru_cache(maxsize=8)
+    @_instance_cache
     def _decrypt_jit(self, level: int):
         import jax
 
@@ -330,7 +348,7 @@ class BgvBackend:
 
     # -- rescale (rounded division by the top prime) -----------------------
 
-    @lru_cache(maxsize=None)
+    @_instance_cache
     def _rescale_consts(self, level: int):
         p = self.params
         ql = int(p.q_primes[level])
@@ -366,10 +384,16 @@ class BgvBackend:
         # driver bench.
         import os
         flag = os.environ.get("LUMENOS_PALLAS_RESCALE")
-        enabled = (flag == "1") if flag is not None else os.path.exists(
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.dirname(os.path.abspath(__file__)))),
-                ".pallas_rescale_ok"))
+        if flag is not None:
+            enabled = flag == "1"
+        else:
+            global _RESCALE_MARKER
+            if _RESCALE_MARKER is None:     # stat the marker once
+                _RESCALE_MARKER = os.path.exists(
+                    os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__)))),
+                        ".pallas_rescale_ok"))
+            enabled = _RESCALE_MARKER
         if enabled and ct.level > target_level and not ct.is_ntt:
             from ..ops.pallas_rescale import rescale_chain_pallas, rescale_ok
             if rescale_ok(ct.data.shape, ct.level, target_level):

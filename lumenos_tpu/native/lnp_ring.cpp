@@ -414,10 +414,11 @@ void lnp_polymat_mul_vec(LnpRing* r, const u64* mat, const u64* vec, u64* out,
         ntt_inv(Lm, acc.data());
       } else {
         // schoolbook row: accumulate lo/hi halves across the whole row
-        // before a single reduction (cols*D products < 2^100 each; fold
-        // every FOLD_COLS columns to stay below 2^128)
+        // with periodic folds. Each COLUMN adds up to D=64 products of
+        // < 2^102 to one slot, i.e. up to 2^108/column; u128 wraps after
+        // 2^20 such columns, so fold every 2^19 to keep headroom.
         u128 lo[D] = {}, hi[D] = {};
-        const u64 kFold = ((u64)1 << 27);  // 2^106 per product sum cap
+        const u64 kFold = ((u64)1 << 19);
         u64 since = 0;
         for (u64 c = 0; c < cols; c++) {
           const u64* ap = mat + ((i * cols + c) * L + l) * D;

@@ -268,6 +268,9 @@ class GbfvPodProver(PodProver):
     def _mask_linear(self, y1: np.ndarray) -> np.ndarray:
         return np.zeros((0, self.ring.L, D), np.uint64)
 
+    def _f_eval_rows(self) -> int:
+        return 0
+
     def _verify_linear(self, proof, c_r) -> bool:
         # the linear relation is enforced inside the quadratic form;
         # reject proofs smuggling a non-empty masked evaluation

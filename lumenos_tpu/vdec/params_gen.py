@@ -290,8 +290,12 @@ def calibrate(
         # not use the dcompress optimization: report hardness at the
         # target size with gamma/D disabled
         q = q_approx
-        q1 = find_split_prime(2 ** log2q1) if n_div == 1 else \
-            find_split_prime(2 ** log2q1)
+        # Informational only: the deployed prover passes its own split
+        # primes (pod.py find_split_primes searches DOWNWARD from 2^51;
+        # this canonical upward search differs in the low bits). The
+        # knowledge-error/hardness figures use log2q1, not this value,
+        # so the report is unaffected by the search direction.
+        q1 = find_split_prime(2 ** log2q1)
         b_, bound = _bounds(k_msis, stdev2, mpf(0), 0)
         delta_msis = get_delta_msis(bound, k_msis, d, q_approx)
         delta_mlwe = get_delta_mlwe(nu, k_mlwe, d, q_approx)

@@ -70,7 +70,7 @@ from .params_gen import bim_gamma2M, round_stdev
 from .quad import (
     N_PROJ, OMEGA, QuadForm, _addp, _mulp, _subp, auto_signed,
     challenge_matrix, eval_quad_batched, eval_t0_t1, expand_v, project,
-    qf_arrays, quad_challenge, ring_auto, ring_mul, scalar_res, v_dot_R,
+    qf_arrays, quad_challenge, ring_auto, ring_mul, v_dot_R,
     vec_dot_scalars,
 )
 
@@ -145,20 +145,38 @@ class PodProof:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "PodProof":
+        """Parse untrusted wire data. Raises ValueError on malformed
+        input (dtype/shape/length are attacker-controlled); the semantic
+        checks — shapes vs the scheme, residue canonicity — happen in
+        PodProver.verify."""
         import struct
-        off = 0
-        hl = data[off]; off += 1
-        challenge_hash = data[off:off + hl]; off += hl
-        arrs = []
-        for _ in range(2 + len(cls._ARRS)):
-            dl = data[off]; off += 1
-            dt = np.dtype(data[off:off + dl].decode()); off += dl
-            nd = data[off]; off += 1
-            shape = struct.unpack_from(f"<{nd}I", data, off); off += 4 * nd
-            nb = dt.itemsize * int(np.prod(shape, dtype=np.int64))
-            arrs.append(np.frombuffer(
-                data[off:off + nb], dtype=dt).reshape(shape).copy())
-            off += nb
+        try:
+            off = 0
+            hl = data[off]; off += 1
+            challenge_hash = bytes(data[off:off + hl]); off += hl
+            arrs = []
+            for _ in range(2 + len(cls._ARRS)):
+                dl = data[off]; off += 1
+                ds = data[off:off + dl].decode("ascii"); off += dl
+                if ds not in ("<i8", "<u8"):
+                    raise ValueError(f"disallowed dtype {ds!r}")
+                dt = np.dtype(ds)
+                nd = data[off]; off += 1
+                if nd > 4:
+                    raise ValueError("too many dimensions")
+                shape = struct.unpack_from(f"<{nd}I", data, off)
+                off += 4 * nd
+                count = int(np.prod(shape, dtype=np.int64))
+                if not 0 <= count <= 1 << 26:
+                    raise ValueError("oversized array")
+                nb = dt.itemsize * count
+                if off + nb > len(data):
+                    raise ValueError("truncated buffer")
+                arrs.append(np.frombuffer(
+                    data[off:off + nb], dtype=dt).reshape(shape).copy())
+                off += nb
+        except (IndexError, struct.error, UnicodeDecodeError) as e:
+            raise ValueError(f"malformed PodProof wire data: {e!r}") from e
         return cls(commitment=AbdlopCommitment(t_a=arrs[0], t_b=arrs[1]),
                    challenge_hash=challenge_hash,
                    **dict(zip(cls._ARRS, arrs[2:])))
@@ -429,6 +447,10 @@ class PodProver:
         """Masked linear-form evaluation A y1 (BFV path)."""
         return self._apply_A(y1)
 
+    def _f_eval_rows(self) -> int:
+        """Expected f_eval row count (GBFV: 0, relation is in the quad)."""
+        return self.n_ct * self.n_chunks
+
     # -- prove ---------------------------------------------------------------
 
     def prove(self, seed: bytes | None = None,
@@ -442,6 +464,11 @@ class PodProver:
         p = self.params
         if seed is None:
             seed = secrets.token_bytes(32)
+        # Bind the statement into the mask/randomness derivation: with a
+        # caller-reused seed across two DIFFERENT statements, unbound
+        # masks would repeat while the challenge changes, and
+        # z1 - z1' = (c - c')*w reveals the witness.
+        seed = hashlib.sha3_256(seed + self._statement_hash()).digest()
         w = self.w_i64
 
         with start_span("ABDLOP commit", ctx):
@@ -660,8 +687,44 @@ class PodProver:
 
     # -- verify --------------------------------------------------------------
 
+    def _proof_canonical(self, proof: PodProof) -> bool:
+        """Structural validation of (possibly wire-parsed, untrusted)
+        proof data: exact shapes/dtypes for this scheme, and residue
+        canonicity (< q per limb) for every residue-form array — the
+        native ring ops assume canonical u64 residues (non-canonical
+        values overflow the u128 accumulation and void the extraction
+        argument)."""
+        n_rows = self.scheme.a1.shape[0]
+        L = self.ring.L
+        shapes = {
+            "t_a": (proof.commitment.t_a, (n_rows, L, D), np.uint64, True),
+            "t_b": (proof.commitment.t_b, (self.N_SLOTS, L, D), np.uint64,
+                    True),
+            "z_proj": (proof.z_proj, (N_BLOCKS, N_PROJ), np.int64, False),
+            "h": (proof.h, (self.N_G, L, D), np.uint64, True),
+            "w_mask": (proof.w_mask, (n_rows, L, D), np.uint64, True),
+            "f_eval": (proof.f_eval, (self._f_eval_rows(), L, D),
+                       np.uint64, True),
+            "v0": (proof.v0, (L, D), np.uint64, True),
+            "z1": (proof.z1, (self.m1, D), np.int64, False),
+            "z2": (proof.z2, (self.params.m2, D), np.int64, False),
+        }
+        for name, (arr, shape, dt, is_res) in shapes.items():
+            if not isinstance(arr, np.ndarray) or arr.shape != shape \
+                    or arr.dtype != dt:
+                return False
+            if is_res:
+                q = np.asarray(self.params.primes, np.uint64)
+                view = np.moveaxis(arr, -2, 0) if arr.ndim == 3 else arr
+                if (view >= q.reshape((L,) + (1,) * (view.ndim - 1))).any():
+                    return False
+        return len(proof.challenge_hash) == 32
+
     def verify(self, proof: PodProof) -> bool:
         ring = self.ring
+        # 0. structure + canonicity (wire data is untrusted)
+        if not self._proof_canonical(proof):
+            return False
         # 1. norms
         if not self._norm_ok(proof.z1, proof.z2):
             return False

@@ -212,22 +212,6 @@ class QuadForm:
     def add_r0(self, ring, poly_res):
         self.r0 = _addp(ring, self.r0, poly_res)
 
-    def eval_bilinear(self, ring: LnpRing, xs: np.ndarray, ys: np.ndarray
-                      ) -> np.ndarray:
-        """sum R2[(a,b)] (xs_a ys_b + ys_a xs_b)/... NO - plain evaluation
-        sum R2[(a,b)] xs_a ys_b (callers pass the right operands)."""
-        acc = np.zeros((ring.L, D), np.uint64)
-        for (a, b), coef in self.r2.items():
-            prod = _mulp(ring, _mulp(ring, xs[a], ys[b]), coef)
-            acc = _addp(ring, acc, prod)
-        return acc
-
-    def eval_linear(self, ring: LnpRing, xs: np.ndarray) -> np.ndarray:
-        acc = np.zeros((ring.L, D), np.uint64)
-        for a, coef in self.r1.items():
-            acc = _addp(ring, acc, _mulp(ring, xs[a], coef))
-        return acc
-
 
 def qf_arrays(ring: LnpRing, qf: "QuadForm"):
     """Stack the sparse form into index/coefficient arrays so each
