@@ -4,7 +4,7 @@
 set -euo pipefail
 OUT=${OUT:-results_tpu}
 mkdir -p "$OUT"
-for cfg in "2048 1024 12" "4096 2048 12" "8192 4096 13"; do
+for cfg in "2048 1024 12" "4096 2048 12" "8192 4096 13" "16384 4096 14"; do
   set -- $cfg
   rows=$1; cols=$2; logn=$3
   echo "== ${rows}x${cols} LogN=${logn} =="
