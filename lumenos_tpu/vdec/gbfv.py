@@ -94,13 +94,36 @@ def gbfv_mul_f(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return gbfv_reduce(lin)
 
 
+_WEIGHTS_CACHE: np.ndarray | None = None
+
+
 def reduction_table_weights() -> np.ndarray:
     """B[j] = sum_e w_e * |red(X^e)[j]| over e < 2N-1, with w_e =
     min(e+1, N, 2N-1-e) the number of product terms a ternary-times-
     bounded linear convolution can place at exponent e: then
     |(a (*) s mod f)[j]| <= |a|_inf * B[j] for ternary s — the exact
     per-position amplification through the f-reduction (used for the
-    wrap-witness bound and the extraction/binding ladder)."""
+    wrap-witness bound and the extraction/binding ladder).
+
+    A fixed ~8 s O(n^2) computation over ring constants: cached in
+    memory and shipped precomputed (gbfv_weights.npy; recomputed and
+    cross-checked by tests/test_gbfv.py if deleted)."""
+    global _WEIGHTS_CACHE
+    if _WEIGHTS_CACHE is not None:
+        return _WEIGHTS_CACHE
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "gbfv_weights.npy")
+    if os.path.exists(path):
+        w = np.load(path)
+        if w.shape == (GBFV_N,):
+            _WEIGHTS_CACHE = w
+            return w
+    _WEIGHTS_CACHE = _compute_reduction_table_weights()
+    return _WEIGHTS_CACHE
+
+
+def _compute_reduction_table_weights() -> np.ndarray:
     n = GBFV_N
     red = np.zeros((n - 1, n), dtype=np.int64)
     for r in range(n - 1):

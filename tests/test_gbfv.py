@@ -151,3 +151,11 @@ def test_gbfv_public_verifier(gbfv_statement, gbfv_proof):
     bad.h = gbfv_proof.h.copy()
     bad.h[0, 0, 1] ^= 1
     assert not verifier.verify(bad)
+
+
+def test_shipped_weights_match_computation():
+    """The precomputed gbfv_weights.npy equals the O(n^2) derivation."""
+    from lumenos_tpu.vdec.gbfv import (_compute_reduction_table_weights,
+                                       reduction_table_weights)
+    assert np.array_equal(reduction_table_weights(),
+                          _compute_reduction_table_weights())
