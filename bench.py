@@ -219,6 +219,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         t1 = time.perf_counter()
         t_prod = t1 - t0b
         overlapped_tail.t_prod_done = t1
+        overlapped_tail.mr1 = mr1
         tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
         t_merkle = time.perf_counter() - t1
         t2 = time.perf_counter()
@@ -280,6 +281,15 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             got = [int(dec[ci, rr]) * sig_inv % t for rr in range(4)]
             exp = [int(pt_enc[rr, p]) for rr in range(4)]
             if got != exp:
+                spot_ok = False
+        # inner-product spot-check: MatR c0-decode vs host oracle
+        r_obj = r.astype(object)
+        for j in (0, cols - 1):
+            c0 = int(np.asarray(backend.decrypt_c0(
+                CtBatch(data=overlapped_tail.mr1[jnp.asarray([j])],
+                        level=1), sk))[0])  # products rescale to level 1
+            exp_ip = int((matrix[:, j].astype(object) * r_obj).sum() % t)
+            if c0 * params.n % t != exp_ip:
                 spot_ok = False
         print(f"[{rows}x{cols}] spot-check decrypt vs plaintext oracle: "
               f"{'OK' if spot_ok else 'MISMATCH'}", file=sys.stderr)
