@@ -43,6 +43,7 @@ REFERENCE = {
 
 RESULTS: dict = {}          # "ROWSxCOLS" -> per-config result dict
 _PRINTED = False
+_INIT_OK = [False]          # set once jax.devices() has returned
 
 
 def emit_json() -> None:
@@ -103,6 +104,8 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     # pre-compile EVERY device program before any large allocation exists
     # (trace/compile with a ~full chip is what OOMs at the big configs)
     import jax
+    jax.devices()
+    _INIT_OK[0] = True
     t0 = time.perf_counter()
     ext_cols = cols * rho
     n = params.n
@@ -329,9 +332,41 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     }
 
 
+def _tunnel_guard() -> None:
+    """Fail fast (with a diagnosis) instead of hanging the whole driver
+    budget when the axon relay is down: jax init blocks forever if the
+    tunnel's loopback ports are gone (observed: the relay dies with its
+    launcher-side transport and cannot be restarted from inside)."""
+    import socket
+    import threading
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=3):
+            pass
+    except OSError:
+        print("bench: axon relay port 8082 closed - TPU tunnel is down; "
+              "aborting before jax init (would hang)", file=sys.stderr)
+        raise SystemExit(3)
+
+    # watchdog: device INIT (not compile) must complete within 15 min -
+    # run_config sets _INIT_OK[0] right after jax.devices() returns. A
+    # half-dead tunnel (port open, upstream gone) otherwise hangs the
+    # whole driver budget with no diagnosis.
+    def watch():
+        import time as _t
+        _t.sleep(900)
+        if not _INIT_OK[0]:
+            print("bench: jax device init did not complete in 900 s - "
+                  "tunnel half-dead; exiting", file=sys.stderr)
+            os._exit(4)
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def main() -> None:
     signal.signal(signal.SIGTERM, _sig_handler)
     signal.signal(signal.SIGINT, _sig_handler)
+    _tunnel_guard()
     budget = float(os.environ.get("LUMENOS_BENCH_BUDGET", 1500))
     check = not os.environ.get("LUMENOS_BENCH_NOCHECK")
     cfg_env = os.environ.get("LUMENOS_BENCH_CONFIGS",
