@@ -192,6 +192,67 @@ def commit(
         leaf_data=leaf_data, field=field)
 
 
+def commit_streaming(
+    committer: LigeroCommitter,
+    backend: BgvBackend,
+    values: np.ndarray,
+    pk: PublicKey,
+    rng: np.random.Generator,
+    field: PrimeField,
+    ctx: Span | None = None,
+    start_level: int | None = None,
+) -> HomomorphicLigeroProver:
+    """Production-scale commit: encrypt-on-demand streamed staged encode.
+
+    ``values``: the [cols, rows] plaintext column values (the reference's
+    server likewise owns encryption in its demo, cmd/server/main.go:
+    200-207). Encrypts each stage-A input chunk just-in-time at the
+    minimum viable level, streams it through the two-pass staged encode
+    (fhe/staged.py; bounded HBM liveness - a monolithic commit() needs
+    ~60 GB of XLA liveness at 8192x4096), and commits the fused on-device
+    leaf digests. Output is bit-identical to commit() on the same
+    encryption randomness stream."""
+    from .hntt import min_start_level
+    from .staged import StagedEncode
+    from ..ops.sha256_jax import digests_to_bytes
+
+    meta = committer.meta
+    size = meta.cols * meta.rho_inv
+    lvl = (min_start_level(backend.params, size)
+           if start_level is None else start_level)
+    with start_span("Encode", ctx):
+        staged = StagedEncode(backend, field, size, lvl)
+        full_vals = np.zeros((size, meta.rows), dtype=np.uint64)
+        full_vals[: meta.cols] = values
+        grid = full_vals.reshape(staged.n1, staged.n2, meta.rows)
+
+        def make_chunk(jc):
+            j0 = jc * staged.chunk_a
+            vals = np.ascontiguousarray(
+                grid[:, j0:j0 + staged.chunk_a].reshape(-1, meta.rows))
+            ct = backend.encrypt_values(vals, pk, rng, level=lvl)
+            return ct.data.reshape(
+                (staged.n1, staged.chunk_a) + ct.data.shape[1:])
+
+        enc_ct, digests, scales, _ = staged.run_streaming(
+            make_chunk, staged.n2 // staged.chunk_a)
+        enc_ct.data.block_until_ready()
+        from .hsched import unit_schedule
+        backend.mul_count += unit_schedule(field, size, size).n_layers * size
+    with start_span("Merkle tree built", ctx):
+        tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
+    # matrix columns at the products level for prove(): re-encrypted
+    # small (cols ciphertexts at 3 limbs), like the bench's prod path
+    prod_level = 2
+    prod_ct = backend.encrypt_values(
+        np.ascontiguousarray(values), pk, rng, level=prod_level)
+    return HomomorphicLigeroProver(
+        committer=committer, backend=backend, matrix_ct=prod_ct,
+        encoded_lvl1=enc_ct,
+        encoded_scales=np.array([int(x) for x in scales], dtype=object),
+        tree=tree, leaf_data=np.asarray(enc_ct.data), field=field)
+
+
 def prove(
     prover: HomomorphicLigeroProver,
     point: int,
@@ -223,7 +284,7 @@ def prove(
         enc = backend.encoder
         pt_r = backend._ntt(enc.lift_to_rns(enc.encode(r), lvl), lvl)
         pt_b = backend._ntt(enc.lift_to_rns(enc.encode(b), lvl), lvl)
-        fn = build_products_pipeline(backend)
+        fn = build_products_pipeline(backend, level=lvl)
         mr1, mz1 = fn(prover.matrix_ct.data, pt_r, pt_b)
         mat_r = CtBatch(data=mr1, level=1)
         mat_z = CtBatch(data=mz1, level=1)

@@ -116,7 +116,9 @@ class StagedEncode:
         self.n1 = sqrt_factor(size)
         self.n2 = size // self.n1
         self.level = start_level
-        self.mid = mid_level
+        # mid level must sit strictly inside the chain (small parameter
+        # sets have fewer limbs than the default mid of 5)
+        self.mid = max(1, min(mid_level, start_level - 1))
         self.chunk_a = min(chunk_a, self.n2)
         self.chunk_b = min(chunk_b, self.n1)
         t = field.modulus

@@ -78,3 +78,26 @@ def test_verify_rejects_wrong_value(setup):
     value = evaluate_matrix_poly(matrix, POINT, field)
     with pytest.raises(ValueError):
         verify(proof, POINT, (value + 1) % T, field, Transcript("test"), fhe_leaf_hasher)
+
+
+def test_commit_streaming_end_to_end(setup):
+    """The production-scale streamed commit (encrypt-on-demand staged
+    encode + fused digests) yields a proof the public verifier accepts,
+    with MatR/MatZ equal to the plaintext reference."""
+    backend, sk, field, matrix, committer, _ = setup
+    from lumenos_tpu.fhe.ligero import commit_streaming
+    rng = np.random.default_rng(123)
+    _, pk = backend.keygen(np.random.default_rng(99))  # fresh pk ok
+    # use the module fixture's keypair for decrypt: regenerate both
+    sk2, pk2 = backend.keygen(np.random.default_rng(7))
+    prover = commit_streaming(committer, backend,
+                              np.ascontiguousarray(matrix.T), pk2, rng,
+                              field)
+    eproof = prove(prover, POINT, Transcript("test"))
+    proof = decrypt_proof(eproof, backend, sk2)
+    value = evaluate_matrix_poly(matrix, POINT, field)
+    verify(proof, POINT, value, field, Transcript("test"), fhe_leaf_hasher)
+    ref = ligero_prove_reference(committer, matrix, POINT, field,
+                                 Transcript("test"))
+    assert np.array_equal(proof.mat_r, ref.mat_r)
+    assert np.array_equal(proof.mat_z, ref.mat_z)
