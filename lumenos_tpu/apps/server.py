@@ -83,10 +83,21 @@ def make_handler(state: PpdState):
             span = start_span("Prove FHE evaluation", None,
                               "Prove FHE evaluation...")
             matrix = random_matrix_row_major(rows, cols, backend.t)
-            mat_ct = backend.encrypt_values(
-                np.ascontiguousarray(matrix.T), state.pk, rng)
             committer = LigeroCommitter(128, rows, cols, rho)
-            prover = commit(committer, backend, mat_ct, state.pk, rng, field, span)
+            # monolithic commit up to ~mid sizes; streamed staged encode
+            # beyond (bounded HBM liveness - fhe/ligero.py commit_streaming)
+            big = (cols * rho * 2 * (backend.params.max_level + 1)
+                   * backend.n * 8 > 1.5e9)
+            if big:
+                from ..fhe.ligero import commit_streaming
+                prover = commit_streaming(committer, backend,
+                                          np.ascontiguousarray(matrix.T),
+                                          state.pk, rng, field, span)
+            else:
+                mat_ct = backend.encrypt_values(
+                    np.ascontiguousarray(matrix.T), state.pk, rng)
+                prover = commit(committer, backend, mat_ct, state.pk, rng,
+                                field, span)
             eproof = prove(prover, point, Transcript("ppd"), span,
                            ring_switch=state.ring_switch)
             span.end(newline=True)
