@@ -238,3 +238,35 @@ def prove_and_verify_pod(backend, queried_cols, queried_values, queried_scales,
     if not prover.verify(proof):
         raise RuntimeError("generated PoD proof is not valid")
     return st, proof
+
+
+def generate_header_file(st: PodStatement, path: str) -> None:
+    """Emit the statement as static C arrays for standalone native-layer
+    testing (reference GenerateHeaderFile, vdec/prover.go:240-297).
+
+    Coefficients are written as centered (hi, lo) 64-bit pairs since the
+    ~114-bit values exceed any C integer literal type."""
+    def rows(arr2d):
+        out = []
+        for row in arr2d:
+            hi, lo = _obj_to_hilo(np.asarray(row, dtype=object))
+            out.append("  {" + ", ".join(
+                f"{{{int(h)}LL, {int(x)}ULL}}" for h, x in zip(hi, lo)) + "}")
+        return ",\n".join(out)
+
+    n_ct, n = st.ct0.shape
+    with open(path, "w") as f:
+        f.write("// generated by lumenos_tpu.vdec.prover.generate_header_file\n")
+        f.write("// value = hi * 2^64 + lo  (hi signed, lo unsigned)\n")
+        f.write(f"#define VDEC_N_CT {n_ct}\n#define VDEC_N {n}\n")
+        f.write("typedef struct { long long hi; unsigned long long lo; } "
+                "vdec_coeff_t;\n")
+        f.write(f"static const char vdec_q_modulus[] = \"{st.q_modulus}\";\n")
+        f.write(f"static const unsigned long long vdec_t = {st.t}ULL;\n")
+        for name, arr in (("ct0", st.ct0), ("ct1", st.ct1),
+                          ("delta_m", st.delta_m)):
+            f.write(f"static const vdec_coeff_t vdec_{name}"
+                    f"[VDEC_N_CT][VDEC_N] = {{\n{rows(arr)}\n}};\n")
+        if st.sk_signed is not None:
+            f.write("static const signed char vdec_sk[VDEC_N] = {"
+                    + ", ".join(str(int(x)) for x in st.sk_signed) + "};\n")

@@ -48,3 +48,25 @@ def test_pod_rejects_lying_values(setup):
     lies[3, 7] = (int(lies[3, 7]) + 1) % T
     with pytest.raises(ValueError):
         prove_bfv_dec_batched(backend, cts, lies, None, sk, Transcript("vdec"))
+
+
+def test_generate_header_file(tmp_path):
+    """The C-vector emitter (reference GenerateHeaderFile parity) writes
+    a header that a C compiler accepts."""
+    import subprocess
+    from lumenos_tpu.vdec.prover import PodStatement, generate_header_file
+    rng = np.random.default_rng(5)
+    n = 64
+    Q = (1 << 114) - 5
+    def cc(k):
+        a = np.array([int(x) for x in rng.integers(-(1 << 62), 1 << 62, (k, n)).reshape(-1)],
+                     dtype=object).reshape(k, n)
+        return a
+    st = PodStatement(q_modulus=Q, t=(1 << 57) - 13, n=n, ct0=cc(2), ct1=cc(2),
+                      delta_m=cc(2), sk_signed=rng.integers(-1, 2, n).astype(np.int64),
+                      noise=cc(2), noise_bound=1 << 43)
+    hdr = tmp_path / "vdec_vectors.h"
+    generate_header_file(st, str(hdr))
+    main = tmp_path / "m.c"
+    main.write_text(f'#include "{hdr}"\nint main(void){{return vdec_ct0[0][0].lo != 0 ? 0 : 0;}}\n')
+    subprocess.run(["gcc", "-c", str(main), "-o", str(tmp_path / "m.o")], check=True)
