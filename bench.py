@@ -212,10 +212,17 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         tr.append_field("point", point)
         idxs = sample_query_indices(tr, committer.meta.queries, cols * rho)
         leaf_dev = gather(idxs)
-        try:
-            leaf_dev.copy_to_host_async()
-        except Exception:   # backend without async d2h: sync np.asarray below
-            pass
+        # LUMENOS_D2H_SLICES=k: k concurrent async copies (separate relay
+        # streams aggregate bandwidth on some links; scripts/
+        # check_transfer.py measures whether they do here)
+        k_slices = int(os.environ.get("LUMENOS_D2H_SLICES", "1"))
+        parts = ([leaf_dev[i::k_slices] for i in range(k_slices)]
+                 if k_slices > 1 else [leaf_dev])
+        for part in parts:
+            try:
+                part.copy_to_host_async()
+            except Exception:   # no async d2h: sync np.asarray below
+                break
         mr1, mz1 = fn_prod_c(prod_data, pt_r, pt_b)
         mr1.block_until_ready()
         backend.mul_count += 2 * cols   # one ct x pt per column per challenge
@@ -226,7 +233,14 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
         t_merkle = time.perf_counter() - t1
         t2 = time.perf_counter()
-        leaf_np = np.asarray(leaf_dev)
+        if k_slices > 1:
+            outs = [np.asarray(p) for p in parts]
+            leaf_np = np.empty((len(idxs),) + outs[0].shape[1:],
+                               dtype=outs[0].dtype)
+            for i, o in enumerate(outs):
+                leaf_np[i::k_slices] = o
+        else:
+            leaf_np = np.asarray(leaf_dev)
         paths = [tree.get_path(i) for i in idxs]
         return (t_prod, t_merkle, time.perf_counter() - t2, idxs, leaf_np,
                 paths)
