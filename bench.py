@@ -407,6 +407,8 @@ def main() -> None:
         try:
             RESULTS[f"{rows}x{cols}"] = run_config(rows, cols, log_n, check)
         except SystemExit:
+            # spot-check failure: emit what already passed, then fail
+            emit_json()
             raise
         except Exception as e:  # keep earlier results printable
             print(f"bench: config {rows}x{cols} failed: {e!r}", file=sys.stderr)
