@@ -164,13 +164,6 @@ def v_dot_R(ring: LnpRing, seed: bytes, v_res: np.ndarray, dim: int
                                 .transpose(1, 0, 2))
 
 
-def scalar_res(ring: LnpRing, value: int) -> np.ndarray:
-    """Python int -> constant-poly residues [L, D]."""
-    out = np.zeros((ring.L, D), np.uint64)
-    for li, q in enumerate(ring.params.primes):
-        out[li, 0] = value % q
-    return out
-
 
 def vec_dot_scalars(ring: LnpRing, v_res: np.ndarray, z: np.ndarray
                     ) -> np.ndarray:
@@ -282,8 +275,3 @@ def _subp(ring, a, b):
 
 def _mulp(ring, a, b):
     return ring_mul(ring, a[None], b[None])[0]
-
-
-def _scale_mu(ring, mu_res, poly_res):
-    """mu (constant-poly residues [L, D]) * poly."""
-    return _mulp(ring, mu_res, poly_res)
