@@ -103,3 +103,38 @@ def test_streaming_cells_matches_run(setup):
     all_cells = np.concatenate([np.asarray(b) for b in cells_blocks], axis=0)
     reassembled = all_cells.reshape(SIZE, *flat.shape[1:])[st.ref_to_cell_perm()]
     assert np.array_equal(reassembled, flat)
+
+
+def test_streaming_cells_asymmetric_blocks(setup):
+    """n1 != n2 with several mid blocks (the 16384-config shape class:
+    n1=64, n2=128, n_blocks=8 - here scaled down to n1=4, n2=8,
+    n_blocks=4, chunk_a=2)."""
+    backend, sk, field, ct = setup
+    SIZE2 = 32
+    vals = np.random.default_rng(5).integers(
+        0, T, (SIZE2, N)).astype(np.uint64)
+    rngk = np.random.default_rng(8)
+    sk2, pk2 = backend.keygen(rngk)
+    ct2 = backend.encrypt_values(vals, pk2, rngk, level=5)
+    f2 = PrimeField(T, SIZE2)
+    st = StagedEncode(backend, f2, SIZE2, start_level=5, mid_level=3,
+                      chunk_a=2, chunk_b=2)
+    assert (st.n1, st.n2) == (4, 8)
+    grid = ct2.data.reshape((st.n1, st.n2) + ct2.data.shape[1:])
+    chunks = [jnp.asarray(np.ascontiguousarray(np.asarray(
+        grid[:, j0:j0 + st.chunk_a])))
+        for j0 in range(0, st.n2, st.chunk_a)]
+    flat_ct, digests, scales = st.run(chunks)
+    flat = np.asarray(flat_ct.data)
+
+    def make_chunk(k):
+        return jnp.asarray(np.ascontiguousarray(np.asarray(
+            grid[:, k * st.chunk_a:(k + 1) * st.chunk_a])))
+
+    cells_blocks, dig_ref, scales_c, _ = st.run_streaming_cells(
+        make_chunk, st.n2 // st.chunk_a, n_blocks=4)
+    assert len(cells_blocks) == 4 and cells_blocks[0].shape[0] == 1
+    assert np.array_equal(dig_ref, np.asarray(digests))
+    pos = [0, 3, 5, SIZE2 - 1, 17]
+    got = np.asarray(st.gather_positions(cells_blocks, pos))
+    assert np.array_equal(got, flat[np.array(pos)])
