@@ -147,11 +147,19 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             staged.precompile_cells(n_blocks)
         else:
             staged.precompile()
+        from lumenos_tpu.fhe.ligero import precompile_products_extract
+        precompile_products_extract(backend, staged, cols, prod_level)
         fn_enc_c = None
+        fn_prodmat_c = None
     else:
         fn_enc = build_encode_pipeline_full(backend, field, ext_cols, start_level)
         fn_enc_c = fn_enc.lower(jax.ShapeDtypeStruct(
             (ext_cols, 2, start_level + 1, n), u64)).compile()
+        from lumenos_tpu.fhe.backend import CtBatch as _CtB
+        fn_prodmat = jax.jit(lambda d: backend.rescale_to(
+            _CtB(data=d, level=start_level), prod_level).data)
+        fn_prodmat_c = fn_prodmat.lower(jax.ShapeDtypeStruct(
+            (cols, 2, start_level + 1, n), u64)).compile()
     fn_prod = build_products_pipeline(backend, level=prod_level)
     fn_prod_c = fn_prod.lower(
         jax.ShapeDtypeStruct((cols, 2, prod_level + 1, n), u64),
@@ -167,8 +175,12 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     full_vals[:cols] = matrix.T
     if staged is not None:
         # stage-A input chunks are encrypted JUST-IN-TIME inside the staged
-        # run (client work, untimed) so only one is ever device-resident
+        # run (client work, untimed) so only one is ever device-resident.
+        # enc_rng_state lets the products pass REPLAY the identical
+        # ciphertext stream (= a production server re-reading received
+        # bytes; fhe/ligero.py commit_streaming).
         grid = full_vals.reshape(staged.n1, staged.n2, rows)
+        enc_rng_state = rng.bit_generator.state
 
         def make_chunk(jc):
             j0 = jc * staged.chunk_a
@@ -179,13 +191,10 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
                 (staged.n1, staged.chunk_a) + ct.data.shape[1:])
 
         full_ct = None
-        prod_ct = None
     else:
         full_ct = encrypt_big_batch(backend, full_vals, pk, rng, start_level,
                                     chunk=512)
-        prod_ct = encrypt_big_batch(backend, np.ascontiguousarray(matrix.T),
-                                    pk, rng, prod_level, chunk=1024)
-        prod_ct.data.block_until_ready()
+        full_ct.data.block_until_ready()
     print(f"[{rows}x{cols}] matrix gen + encrypt: "
           f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
@@ -259,25 +268,36 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             enc1 = enc_ct.data
             enc1.block_until_ready()
             gather = lambda ps: enc1[jnp.asarray(np.array(ps))]
-        te = time.perf_counter()
-        prod_ct = encrypt_big_batch(backend, np.ascontiguousarray(matrix.T),
-                                    pk, rng, prod_level, chunk=1024)
+        # products-level matrix: SECOND PASS over the client's ciphertext
+        # stream, rescaled on device (server work, COUNTED) - never
+        # re-encrypted (fhe/ligero.py derive_products_matrix). Chunk
+        # re-encryption below replays the client's exact bytes (untimed).
+        from lumenos_tpu.fhe.ligero import derive_products_matrix
+        rng.bit_generator.state = enc_rng_state
+        prod_ct, t_prodmat = derive_products_matrix(
+            backend, staged, make_chunk, cols, prod_level)
         prod_ct.data.block_until_ready()
-        print(f"(prod encrypt, not counted: {time.perf_counter()-te:.1f}s)",
+        print(f"[{rows}x{cols}] products-matrix rescale: {t_prodmat:.2f}s",
               file=sys.stderr)
         t_prod, t_merkle, t_query, idxs, leaf_np, paths = overlapped_tail(
             gather, digests, prod_ct.data)
         print(f"[{rows}x{cols}] device split: encode {t_encode_run:.2f}s "
+              f"prodmat {t_prodmat:.2f}s "
               f"products(+transfer overlap) {t_prod:.2f}s", file=sys.stderr)
-        t_device = t_encode_run + t_prod
+        t_device = t_encode_run + t_prodmat + t_prod
     else:
+        # products-level matrix from the encode-level cts (counted)
+        te = time.perf_counter()
+        prod_data = fn_prodmat_c(full_ct.data[:cols])
+        prod_data.block_until_ready()
+        t_prodmat = time.perf_counter() - te
         enc1, digests = fn_enc_c(full_ct.data)
         enc_scales = None
         gather = lambda ps: enc1[jnp.asarray(np.array(ps))]
         # no block on enc1: the tail's gather/products enqueue behind the
         # encode on the device stream while the host samples the queries
         t_prod, t_merkle, t_query, idxs, leaf_np, paths = overlapped_tail(
-            gather, digests, prod_ct.data)
+            gather, digests, prod_data)
         t_device = overlapped_tail.t_prod_done - t0
 
     spot_ok = None
@@ -335,6 +355,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         "logn": log_n,
         "total_s": round(total, 3),
         "device_s": round(t_device, 3),
+        "prodmat_s": round(t_prodmat, 3),
         "merkle_s": round(t_merkle, 3),
         "query_s": round(t_query, 3),
         "compile_s": round(t_compile, 1),
@@ -383,8 +404,9 @@ def main() -> None:
     _tunnel_guard()
     budget = float(os.environ.get("LUMENOS_BENCH_BUDGET", 1500))
     check = not os.environ.get("LUMENOS_BENCH_NOCHECK")
-    cfg_env = os.environ.get("LUMENOS_BENCH_CONFIGS",
-                             "2048x1024,8192x4096,16384x4096")
+    cfg_env = os.environ.get(
+        "LUMENOS_BENCH_CONFIGS",
+        "2048x1024,4096x2048,8192x4096,16384x4096")
     # legacy single-config envs still honored
     if os.environ.get("LUMENOS_BENCH_ROWS"):
         cfg_env = (f"{os.environ['LUMENOS_BENCH_ROWS']}x"

@@ -192,6 +192,140 @@ def commit(
         leaf_data=leaf_data, field=field)
 
 
+_PRODX_CACHE: dict = {}
+
+
+def _products_extract_fns(backend: BgvBackend, n1h: int, chunk_a: int,
+                          start_level: int, prod_level: int):
+    """Jitted (extract, accumulate) pair for derive_products_matrix.
+    extract: [n1h, ca, 2, L, N] chunk top -> rescaled [n1h, ca, 2, Lp, N];
+    accumulate: donated dynamic_update_slice into the [n1h, n2, ...] buffer."""
+    key = ("prodx", id(backend), n1h, chunk_a, start_level, prod_level)
+    if key not in _PRODX_CACHE:
+        def _extract(top):
+            flat = top.reshape((n1h * chunk_a,) + top.shape[2:])
+            out = backend.rescale_to(
+                CtBatch(data=flat, level=start_level), prod_level)
+            return out.data.reshape((n1h, chunk_a) + out.data.shape[1:])
+
+        _PRODX_CACHE[key] = (
+            jax.jit(_extract),
+            jax.jit(lambda b, c, j0: jax.lax.dynamic_update_slice(
+                b, c, (0, j0, 0, 0, 0)), donate_argnums=(0,)))
+    return _PRODX_CACHE[key]
+
+
+def precompile_products_extract(backend: BgvBackend, staged, cols: int,
+                                prod_level: int = 2) -> None:
+    """AOT-compile the derive_products_matrix programs before big device
+    buffers exist (trace/compile under memory pressure OOMs on TPU)."""
+    n1h = cols // staged.n2
+    ex, upd = _products_extract_fns(backend, n1h, staged.chunk_a,
+                                    staged.level, prod_level)
+    n = backend.n
+    sds = jax.ShapeDtypeStruct
+    u64 = jnp.uint64
+    ex.lower(sds((n1h, staged.chunk_a, 2, staged.level + 1, n), u64)).compile()
+    upd.lower(sds((n1h, staged.n2, 2, prod_level + 1, n), u64),
+              sds((n1h, staged.chunk_a, 2, prod_level + 1, n), u64),
+              0).compile()
+
+
+def derive_products_matrix(backend: BgvBackend, staged, make_chunk,
+                           cols: int, prod_level: int = 2):
+    """Products-level matrix batch from the CLIENT's encode-level
+    ciphertexts: a second pass over the stage-A chunk stream, slicing the
+    matrix positions (p = i*n2 + j < cols  <=>  i < cols/n2) and rescaling
+    start_level -> prod_level on device. MSB form: rescale divides the
+    phase AND Delta by the dropped prime, so the plaintext is unchanged
+    (backend.rescale docstring) - the derived batch encrypts exactly the
+    matrix columns, with post-rescale noise far under the one-pt-mul
+    headroom that prod_level provides.
+
+    Never encrypts: this replaces the server-side re-encryption the
+    round-2 review flagged (the reference's demo also encrypts
+    server-side, cmd/server/main.go:200-207, but a real PPD server only
+    ever sees ciphertexts, cmd/server/main.go:66-179).
+
+    Returns (CtBatch [cols] at prod_level, device_seconds) where
+    device_seconds excludes chunk production (re-reading received bytes
+    in production; the demo replays its encryption stream)."""
+    import time as _time
+    n2, ca = staged.n2, staged.chunk_a
+    assert cols % n2 == 0, "matrix must cover whole i-rows of the grid"
+    n1h = cols // n2
+    extract, upd = _products_extract_fns(backend, n1h, ca, staged.level,
+                                         prod_level)
+    buf = jnp.zeros((n1h, n2, 2, prod_level + 1, backend.n), jnp.uint64)
+    t_dev = 0.0
+    for jc in range(n2 // ca):
+        chunk = make_chunk(jc)
+        chunk.block_until_ready()
+        t0 = _time.perf_counter()
+        buf = upd(buf, extract(chunk[:n1h]), jc * ca)
+        buf.block_until_ready()
+        t_dev += _time.perf_counter() - t0
+        del chunk
+    # grid position p = i*n2 + j == matrix column index, so a row-major
+    # reshape is already column order
+    ct = CtBatch(data=buf.reshape(cols, 2, prod_level + 1, backend.n),
+                 level=prod_level)
+    return ct, t_dev
+
+
+def commit_streaming_cts(
+    committer: LigeroCommitter,
+    backend: BgvBackend,
+    chunk_source,
+    field: PrimeField,
+    ctx: Span | None = None,
+    start_level: int | None = None,
+    prod_level: int = 2,
+) -> HomomorphicLigeroProver:
+    """Ciphertext-only production commit: the server consumes ONLY
+    client-encrypted ciphertexts (reference trust model:
+    cmd/server/main.go:66-179 receives keys + data over the wire).
+
+    ``chunk_source(staged) -> make_chunk`` where ``make_chunk(jc)`` yields
+    the stage-A input chunk [n1, chunk_a, 2, L, N] at ``staged.level``
+    (j-chunk jc of the [n1, n2] position grid: matrix columns at positions
+    p = i*n2 + j < cols, zero encryptions above). The source is invoked
+    TWICE - once for the streamed encode, once to re-read the matrix
+    ciphertexts for the products-level derivation; in production both
+    passes replay the same received bytes.
+
+    The products-level matrix is derived by RESCALING those encode-level
+    ciphertexts (derive_products_matrix) - this function never calls an
+    encryptor (tests/test_hligero.py asserts it)."""
+    from .hntt import min_start_level
+    from .staged import StagedEncode
+    from ..ops.sha256_jax import digests_to_bytes
+
+    meta = committer.meta
+    size = meta.cols * meta.rho_inv
+    lvl = (min_start_level(backend.params, size)
+           if start_level is None else start_level)
+    prod_level = min(prod_level, lvl)
+    with start_span("Encode", ctx):
+        staged = StagedEncode(backend, field, size, lvl)
+        enc_ct, digests, scales, _ = staged.run_streaming(
+            chunk_source(staged), staged.n2 // staged.chunk_a)
+        enc_ct.data.block_until_ready()
+        from .hsched import unit_schedule
+        backend.mul_count += unit_schedule(field, size, size).n_layers * size
+    with start_span("Merkle tree built", ctx):
+        tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
+    with start_span("Products-level matrix (rescale received cts)", ctx):
+        prod_ct, _ = derive_products_matrix(
+            backend, staged, chunk_source(staged), meta.cols, prod_level)
+        prod_ct.data.block_until_ready()
+    return HomomorphicLigeroProver(
+        committer=committer, backend=backend, matrix_ct=prod_ct,
+        encoded_lvl1=enc_ct,
+        encoded_scales=np.array([int(x) for x in scales], dtype=object),
+        tree=tree, leaf_data=np.asarray(enc_ct.data), field=field)
+
+
 def commit_streaming(
     committer: LigeroCommitter,
     backend: BgvBackend,
@@ -202,27 +336,19 @@ def commit_streaming(
     ctx: Span | None = None,
     start_level: int | None = None,
 ) -> HomomorphicLigeroProver:
-    """Production-scale commit: encrypt-on-demand streamed staged encode.
-
-    ``values``: the [cols, rows] plaintext column values (the reference's
-    server likewise owns encryption in its demo, cmd/server/main.go:
-    200-207). Encrypts each stage-A input chunk just-in-time at the
-    minimum viable level, streams it through the two-pass staged encode
-    (fhe/staged.py; bounded HBM liveness - a monolithic commit() needs
-    ~60 GB of XLA liveness at 8192x4096), and commits the fused on-device
-    leaf digests. Output is bit-identical to commit() on the same
-    encryption randomness stream."""
-    from .hntt import min_start_level
-    from .staged import StagedEncode
-    from ..ops.sha256_jax import digests_to_bytes
-
+    """Demo/bench convenience around commit_streaming_cts: plays the
+    CLIENT role - encrypts each stage-A input chunk just-in-time from
+    ``values`` [cols, rows] at the minimum viable level - then restores
+    the rng state so the second pass replays the bit-identical ciphertext
+    stream (what a production server does by re-reading received bytes).
+    The server-side path (commit_streaming_cts) never encrypts. Output is
+    bit-identical to commit() on the same encryption randomness stream."""
     meta = committer.meta
-    size = meta.cols * meta.rho_inv
-    lvl = (min_start_level(backend.params, size)
-           if start_level is None else start_level)
-    with start_span("Encode", ctx):
-        staged = StagedEncode(backend, field, size, lvl)
-        full_vals = np.zeros((size, meta.rows), dtype=np.uint64)
+    state0 = rng.bit_generator.state
+
+    def chunk_source(staged):
+        rng.bit_generator.state = state0    # replay the identical stream
+        full_vals = np.zeros((staged.size, meta.rows), dtype=np.uint64)
         full_vals[: meta.cols] = values
         grid = full_vals.reshape(staged.n1, staged.n2, meta.rows)
 
@@ -230,27 +356,13 @@ def commit_streaming(
             j0 = jc * staged.chunk_a
             vals = np.ascontiguousarray(
                 grid[:, j0:j0 + staged.chunk_a].reshape(-1, meta.rows))
-            ct = backend.encrypt_values(vals, pk, rng, level=lvl)
+            ct = backend.encrypt_values(vals, pk, rng, level=staged.level)
             return ct.data.reshape(
                 (staged.n1, staged.chunk_a) + ct.data.shape[1:])
+        return make_chunk
 
-        enc_ct, digests, scales, _ = staged.run_streaming(
-            make_chunk, staged.n2 // staged.chunk_a)
-        enc_ct.data.block_until_ready()
-        from .hsched import unit_schedule
-        backend.mul_count += unit_schedule(field, size, size).n_layers * size
-    with start_span("Merkle tree built", ctx):
-        tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
-    # matrix columns at the products level for prove(): re-encrypted
-    # small (cols ciphertexts at 3 limbs), like the bench's prod path
-    prod_level = 2
-    prod_ct = backend.encrypt_values(
-        np.ascontiguousarray(values), pk, rng, level=prod_level)
-    return HomomorphicLigeroProver(
-        committer=committer, backend=backend, matrix_ct=prod_ct,
-        encoded_lvl1=enc_ct,
-        encoded_scales=np.array([int(x) for x in scales], dtype=object),
-        tree=tree, leaf_data=np.asarray(enc_ct.data), field=field)
+    return commit_streaming_cts(committer, backend, chunk_source, field,
+                                ctx=ctx, start_level=start_level)
 
 
 def prove(
