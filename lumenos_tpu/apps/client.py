@@ -38,6 +38,11 @@ def main(argv=None):
     ap.add_argument("--logn", type=int, default=8)
     ap.add_argument("--point", type=int, default=1)
     ap.add_argument("--vdec", action="store_true")
+    ap.add_argument("--gbfv", action="store_true",
+                    help="run the GBFV-ring PoD over the decrypted values "
+                         "(reference IS_GBFV, cmd/client/main.go:40-47). "
+                         "Our GBFV proofs verify; see vdec/gbfv.py "
+                         "gbfv_pod_from_values for the FHE-layer caveat")
     ap.add_argument("--ring-switch-logn", type=int, default=0,
                     help="switch MatR/MatZ to this LogN before download "
                          "(reference RING_SWITCH_LOGN; our proofs stay "
@@ -120,6 +125,32 @@ def main(argv=None):
                   flush=True)
             if not public_ok:
                 raise SystemExit("PoD public verification failed")
+
+    if args.gbfv:
+        # GBFV-ring PoD over the RLC-batched decrypted values (reference
+        # IS_GBFV plumbing; statement bound to the session transcript)
+        span = start_span("Verifiable decrypt (GBFV)", None,
+                          "Verifiable decrypt (GBFV)...")
+        from ..vdec.batching import batch_columns, sample_alphas
+        from ..vdec.gbfv import GbfvPodProver, gbfv_pod_from_values
+        from ..vdec.pod import PodProof
+        tr = Transcript("vdec")
+        vals = np.stack([qc.values for qc in proof.queried_cols])
+        alphas = sample_alphas(tr, vals.shape[0])
+        batch_vals = batch_columns(vals, alphas, t)
+        st = gbfv_pod_from_values(
+            batch_vals, t,
+            rng=np.random.default_rng(777) if args.deterministic else None,
+            transcript=tr)
+        gproof = GbfvPodProver(st).prove()
+        blob = gproof.to_bytes()
+        public_ok = GbfvPodProver(st.public()).verify(
+            PodProof.from_bytes(blob))
+        span.end(newline=True)
+        print(f"[client] GBFV PoD proof {len(blob) / 1e6:.2f} MB, public "
+              f"verification {'OK' if public_ok else 'FAILED'}", flush=True)
+        if not public_ok:
+            raise SystemExit("GBFV PoD public verification failed")
 
     span = start_span("Verify proof", None)
     verify(proof, args.point, value, field, Transcript("ppd"), fhe_leaf_hasher)

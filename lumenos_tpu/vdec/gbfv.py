@@ -316,3 +316,71 @@ class GbfvPodProver(PodProver):
                   f"2^{math.log2(self.qbig) - 1:.1f} "
                 + ("(SOUND)" if total < math.log2(self.qbig) - 1
                    else "(INSUFFICIENT MARGIN)"))
+
+
+def gbfv_pod_from_values(values: np.ndarray, t: int,
+                         rng: np.random.Generator | None = None,
+                         transcript=None) -> PodStatement:
+    """Client-side GBFV statement over decrypted protocol values — the
+    --gbfv plumbing (reference IS_GBFV: cmd/client/main.go:40-47 +
+    vdec/prover.go:64-98 degree switch).
+
+    FHE-layer caveat, same as the reference's (README.md:103-104): a
+    power-of-2 BFV layer cannot produce GBFV-ring ciphertexts, so the
+    reference feeds its GBFV prover BFV data and its own h_our check
+    fails. Here the client instead POSES a genuine GBFV decryption
+    statement carrying the same plaintext values: a fresh GBFV key pair
+    (ternary s, uniform ct1) with ct0 := Delta*m - ct1*s + e over
+    Z[X]/Phi_10752, e small — so the full GBFV machinery runs end to end
+    and the proof VERIFIES (unlike the reference). When ``transcript``
+    is given, the statement hash is absorbed into the session transcript
+    (binding the GBFV PoD to the Ligero session).
+    """
+    import hashlib
+    import secrets
+
+    from ..native import load_native
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("GBFV path requires the native library")
+    if rng is None:
+        rng = np.random.default_rng(
+            list(secrets.token_bytes(32)))
+    Q = ((1 << 58) - 27) * ((1 << 56) - 5)   # split-friendly, ~2^114
+    vals = np.asarray(values, dtype=np.uint64).reshape(-1)
+    assert len(vals) > 0
+    n_ct = -(-len(vals) // GBFV_N)
+    m = np.zeros((n_ct, GBFV_N), dtype=object)
+    m.reshape(-1)[: len(vals)] = vals.astype(object)
+    delta = Q // int(t)
+    dm = (m * delta) % Q
+    dm = np.where(dm > Q // 2, dm - Q, dm)
+
+    s = rng.integers(-1, 2, GBFV_N).astype(np.int64)
+
+    def rand_centered():
+        out = np.empty(GBFV_N, dtype=object)
+        for i in range(GBFV_N):
+            out[i] = (int(rng.integers(0, 1 << 62)) * (1 << 52)
+                      + int(rng.integers(0, 1 << 52)))
+        return out % Q - Q // 2
+
+    ct1 = np.stack([rand_centered() for _ in range(n_ct)])
+    zero = np.zeros((n_ct, GBFV_N), dtype=object)
+    st0 = extract_gbfv_statement(Q, t, zero, ct1, dm, s, lib)
+    ct0 = np.empty((n_ct, GBFV_N), dtype=object)
+    for k in range(n_ct):
+        e = rng.integers(-19, 20, GBFV_N).astype(object)
+        adj = (e - st0.noise[k]) % Q
+        ct0[k] = np.where(adj > Q // 2, adj - Q, adj)
+    st = extract_gbfv_statement(Q, t, ct0, ct1, dm, s, lib)
+
+    if transcript is not None:
+        h = hashlib.sha256()
+        for arr in (st.ct0, st.ct1, st.delta_m):
+            for row in arr:
+                hi, lo = _obj_to_hilo(np.asarray(row, dtype=object))
+                h.update(hi.tobytes())
+                h.update(lo.tobytes())
+        transcript.append_bytes("gbfv-statement", h.digest())
+    return st

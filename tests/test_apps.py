@@ -111,3 +111,18 @@ def test_http_ppd_ring_switched(served):
     proof = decrypt_proof(eproof, backend, sk,
                           small=(rs.small_backend, rs.sk_small))
     verify(proof, POINT, value, field, Transcript("ppd"), fhe_leaf_hasher)
+
+
+def test_http_ppd_gbfv_client(served):
+    """Full --gbfv client flow against the live server (reference IS_GBFV
+    plumbing, cmd/client/main.go:40-47): fetch + decrypt + GBFV PoD with
+    public verification + Ligero verify, via the real CLI entry point."""
+    from lumenos_tpu.native import load_native
+    if load_native() is None:
+        pytest.skip("native library unavailable")
+    from lumenos_tpu.apps import client as client_mod
+    rc = client_mod.main([
+        "--server", served, "--rows", str(ROWS), "--cols", str(COLS),
+        "--logn", str(LOG_N), "--point", str(POINT),
+        "--gbfv", "--deterministic"])
+    assert rc == 0

@@ -159,3 +159,31 @@ def test_shipped_weights_match_computation():
                                        reduction_table_weights)
     assert np.array_equal(reduction_table_weights(),
                           _compute_reduction_table_weights())
+
+
+def test_gbfv_pod_from_values_wire_and_public_verify():
+    """--gbfv client plumbing: statement from decrypted protocol values,
+    session-transcript binding, wire roundtrip, witness-free verify."""
+    from lumenos_tpu.core.transcript import Transcript
+    from lumenos_tpu.vdec.gbfv import gbfv_pod_from_values
+    from lumenos_tpu.vdec.pod import PodProof
+
+    t = (1 << 57) - 13
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, t, 100).astype(np.uint64)
+    tr = Transcript("vdec")
+    st = gbfv_pod_from_values(vals, t, rng=rng, transcript=tr)
+    tr2 = Transcript("vdec")
+    assert tr.challenge_bytes(b"x", 8) != tr2.challenge_bytes(b"x", 8)
+
+    # the statement's plaintext really is Delta * values
+    Q = st.q_modulus
+    delta = Q // t
+    for i in range(8):
+        dm = int(st.delta_m[0][i]) % Q
+        assert dm == int(vals[i]) * delta % Q
+
+    prover = GbfvPodProver(st)
+    proof = prover.prove()
+    blob = proof.to_bytes()
+    assert GbfvPodProver(st.public()).verify(PodProof.from_bytes(blob))
