@@ -399,9 +399,21 @@ class StagedEncode:
             _CACHE[key] = jax.jit(
                 impl, in_shardings=(shard_j, None, None),
                 out_shardings=None)
-        flat, digests = _CACHE[key](
-            jax.device_put(jnp.asarray(full, jnp.uint64), shard_j),
-            jnp.asarray(wa), jnp.asarray(wsa))
+        # Multi-process safe placement: a committed single-device jax array
+        # cannot be device_put onto a sharding that spans other processes'
+        # devices, but a host (numpy) array can — each process supplies the
+        # same global value and jax takes only its addressable shards
+        # (parallel/dist.py host-mesh path). Single-process jax inputs keep
+        # the zero-copy path.
+        if isinstance(full, jax.Array):
+            inp = jax.device_put(full.astype(jnp.uint64), shard_j)
+            w_a, w_sa = jnp.asarray(wa), jnp.asarray(wsa)
+        else:
+            rep = NamedSharding(mesh, P())
+            inp = jax.device_put(np.asarray(full, dtype=np.uint64), shard_j)
+            w_a = jax.device_put(np.asarray(wa), rep)
+            w_sa = jax.device_put(np.asarray(wsa), rep)
+        flat, digests = _CACHE[key](inp, w_a, w_sa)
         return CtBatch(data=flat, level=1), digests, self.final_scales
 
     def run(self, j_chunks: list):

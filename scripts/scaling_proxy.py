@@ -1,0 +1,185 @@
+"""Multi-process scaling proxy for the staged encode (host-mesh path).
+
+Real multi-host TPU hardware is not reachable from this container, but the
+cross-process code path — jax.distributed process group, global mesh over
+devices owned by DIFFERENT processes, gloo collectives carrying the staged
+transform's stage-A|j -> all-to-all -> stage-B|i exchange — is exactly what
+a pod-slice run exercises. This proxy runs the production StagedEncode
+(fhe/staged.py run_sharded) over 1, 2 and 4 processes with:
+
+  * a FIXED total of 8 mesh devices (8/nprocs per process),
+  * a FIXED total core budget (the host's cores partitioned with taskset,
+    emulating N smaller hosts),
+  * the SAME global problem and the SAME per-iteration result digest,
+
+and reports wall time per iteration + scaling efficiency t(1)/t(N)
+(BASELINE.md:65 target: >= 80% at N >= 2 hosts). Results land in
+SCALING_PROXY.json.
+
+Usage:  python scripts/scaling_proxy.py          # parent: full ladder
+        LUMENOS_PROXY_SIZE=64 LUMENOS_PROXY_LOGN=8 ...  # shape overrides
+
+Correctness (bit-identity of the sharded staged path vs single device) is
+covered by tests/test_staged_sharded.py and tests/test_dist_proxy.py; this
+script is the perf half.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOTAL_DEVICES = 8
+PORT = int(os.environ.get("LUMENOS_PROXY_PORT", "29531"))
+SIZE = int(os.environ.get("LUMENOS_PROXY_SIZE", "64"))
+LOG_N = int(os.environ.get("LUMENOS_PROXY_LOGN", "8"))
+ITERS = int(os.environ.get("LUMENOS_PROXY_ITERS", "5"))
+LADDER = [int(x) for x in
+          os.environ.get("LUMENOS_PROXY_LADDER", "1,2,4").split(",")]
+
+
+def _worker() -> None:
+    rank = int(os.environ["LUMENOS_PROXY_RANK"])
+    nprocs = int(os.environ["LUMENOS_PROXY_NPROCS"])
+    port = int(os.environ["LUMENOS_PROXY_PORT"])
+
+    # Config + process group BEFORE any lumenos_tpu import: the package
+    # builds jitted constant tables at import time, which initializes the
+    # backend and freezes platform/device-count/collective settings.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", TOTAL_DEVICES // nprocs)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if nprocs > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=nprocs, process_id=rank)
+
+    sys.path.insert(0, REPO)
+    from lumenos_tpu.parallel.dist import global_ct_mesh, barrier
+
+    import numpy as np
+    from lumenos_tpu.core.field import GOLDILOCKS_57, PrimeField
+    from lumenos_tpu.fhe.backend import BgvBackend
+    from lumenos_tpu.fhe.params import BgvParams
+    from lumenos_tpu.fhe.staged import StagedEncode
+
+    assert len(jax.devices()) == TOTAL_DEVICES, \
+        f"global mesh has {len(jax.devices())} devices, want {TOTAL_DEVICES}"
+
+    t = GOLDILOCKS_57
+    n_levels = 8
+    params = BgvParams.generate(log_n=LOG_N,
+                                log_q=[58] + [56] * (n_levels - 1),
+                                log_p=[55, 55], t=t)
+    backend = BgvBackend(params)
+    rng = np.random.default_rng(7)
+    _sk, pk = backend.keygen(rng)
+    field = PrimeField(t, SIZE)
+    vals = rng.integers(0, t, (SIZE, params.n)).astype(np.uint64)
+    ct = backend.encrypt_values(vals, pk, rng, level=n_levels - 1)
+    st = StagedEncode(backend, field, SIZE, start_level=n_levels - 1,
+                      mid_level=4)
+    # identical host-side global input on every process
+    grid = np.asarray(ct.data.reshape((st.n1, st.n2) + ct.data.shape[1:]))
+
+    mesh = global_ct_mesh()
+    # warmup / compile
+    out_ct, digests, _ = st.run_sharded(grid, mesh)
+    out_ct.data.block_until_ready()
+
+    barrier("warmup")
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out_ct, digests, _ = st.run_sharded(grid, mesh)
+        out_ct.data.block_until_ready()
+    barrier("timed")
+    dt = (time.perf_counter() - t0) / ITERS
+
+    # cross-run result fingerprint: a replicated-output reduction over the
+    # leaf digests (a scalar jit output is addressable on every process;
+    # gathering a sharded global array cross-process is not). Bit-exactness
+    # of the sharded staged path is separately pinned by
+    # tests/test_staged_sharded.py.
+    import jax.numpy as jnp
+    fp = int(np.asarray(jax.jit(
+        lambda d: jnp.sum(d.astype(jnp.uint64)))(digests)))
+    if rank == 0:
+        print(json.dumps({"nprocs": nprocs, "iter_s": dt,
+                          "digest": f"{fp:016x}"}), flush=True)
+    if jax.distributed.is_initialized():
+        jax.distributed.shutdown()
+
+
+def _parent() -> None:
+    ncores = os.cpu_count() or 4
+    results = []
+    for nprocs in LADDER:
+        if TOTAL_DEVICES % nprocs:
+            raise SystemExit(f"nprocs {nprocs} must divide {TOTAL_DEVICES}")
+        procs = []
+        span = max(1, ncores // nprocs)
+        for rank in range(nprocs):
+            env = dict(os.environ,
+                       LUMENOS_PROXY_RANK=str(rank),
+                       LUMENOS_PROXY_NPROCS=str(nprocs),
+                       LUMENOS_PROXY_PORT=str(PORT + nprocs),
+                       # PYTHONPATH without the axon site dir + explicit cpu:
+                       # children must never dial the (single-tenant) TPU
+                       PYTHONPATH=REPO,
+                       JAX_PLATFORMS="cpu")
+            lo = (rank * span) % ncores
+            cores = f"{lo}-{min(lo + span - 1, ncores - 1)}"
+            cmd = ["taskset", "-c", cores, sys.executable, "-u",
+                   os.path.abspath(__file__)]
+            procs.append(subprocess.Popen(
+                cmd, env=env, cwd=REPO,
+                stdout=subprocess.PIPE if rank == 0 else subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL if rank else subprocess.PIPE,
+                text=True))
+        try:
+            out, err = procs[0].communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            raise SystemExit(f"nprocs={nprocs} timed out")
+        for p in procs[1:]:
+            p.wait(timeout=60)
+        line = [ln for ln in out.splitlines() if ln.startswith("{")]
+        if procs[0].returncode or not line:
+            sys.stderr.write(err or "")
+            raise SystemExit(f"nprocs={nprocs} worker failed "
+                             f"rc={procs[0].returncode}")
+        rec = json.loads(line[-1])
+        print(f"nprocs={rec['nprocs']}: {rec['iter_s']*1e3:.1f} ms/iter "
+              f"digest={rec['digest']}")
+        results.append(rec)
+
+    digs = {r["digest"] for r in results}
+    base = results[0]["iter_s"]
+    for r in results:
+        r["efficiency"] = base / r["iter_s"]
+    report = {
+        "shape": {"size": SIZE, "log_n": LOG_N, "levels": 8,
+                  "total_devices": TOTAL_DEVICES, "iters": ITERS,
+                  "cores_total": ncores},
+        "digest_consistent": len(digs) == 1,
+        "runs": results,
+    }
+    out_path = os.environ.get("LUMENOS_PROXY_OUT",
+                              os.path.join(REPO, "SCALING_PROXY.json"))
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"scaling_proxy": report["runs"],
+                      "digest_consistent": report["digest_consistent"]}))
+
+
+if __name__ == "__main__":
+    if "LUMENOS_PROXY_RANK" in os.environ:
+        _worker()
+    else:
+        _parent()
