@@ -144,7 +144,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             sds(lvl + 1, n, dt=u64), sds(lvl + 1, n, dt=u64)).compile()
     if staged is not None:
         if use_cells:
-            staged.precompile_cells(n_blocks)
+            staged.precompile_cells(n_blocks, committer.meta.queries)
         else:
             staged.precompile()
         from lumenos_tpu.fhe.ligero import precompile_products_extract
@@ -166,6 +166,14 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         jax.ShapeDtypeStruct((prod_level + 1, n), u64),
         jax.ShapeDtypeStruct((prod_level + 1, n), u64)).compile()
     fn_chal = build_challenge_encode(backend, prod_level)
+    # queried-column gather: AOT like every other device program (an eager
+    # fancy-index here costs an online compile round-trip over the tunnel)
+    if staged is None or not use_cells:
+        import jax.numpy as _jnp
+        fn_gather_c = jax.jit(lambda bdat, i: bdat[i]).lower(
+            jax.ShapeDtypeStruct((ext_cols, 2, 2, n), u64),
+            jax.ShapeDtypeStruct((committer.meta.queries,), _jnp.int32),
+        ).compile()
     t_compile = time.perf_counter() - t0
     print(f"[{rows}x{cols}] precompile: {t_compile:.1f}s", file=sys.stderr)
 
@@ -221,6 +229,10 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         tr.append_field("point", point)
         idxs = sample_query_indices(tr, committer.meta.queries, cols * rho)
         leaf_dev = gather(idxs)
+        leaf_dev.block_until_ready()
+        t_gather = time.perf_counter() - t0b
+        print(f"[{rows}x{cols}]   tail: gather {t_gather:.2f}s",
+              file=sys.stderr)
         # LUMENOS_D2H_SLICES=k: k concurrent async copies (separate relay
         # streams aggregate bandwidth on some links; scripts/
         # check_transfer.py measures whether they do here)
@@ -232,10 +244,13 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
                 part.copy_to_host_async()
             except Exception:   # no async d2h: sync np.asarray below
                 break
+        t_cp = time.perf_counter()
         mr1, mz1 = fn_prod_c(prod_data, pt_r, pt_b)
         mr1.block_until_ready()
         backend.mul_count += 2 * cols   # one ct x pt per column per challenge
         t1 = time.perf_counter()
+        print(f"[{rows}x{cols}]   tail: products(+xfer in flight) "
+              f"{t1 - t_cp:.2f}s", file=sys.stderr)
         t_prod = t1 - t0b
         overlapped_tail.t_prod_done = t1
         overlapped_tail.mr1 = mr1
@@ -250,6 +265,9 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
                 leaf_np[i::k_slices] = o
         else:
             leaf_np = np.asarray(leaf_dev)
+        print(f"[{rows}x{cols}]   tail: transfer residual "
+              f"{time.perf_counter() - t2:.2f}s "
+              f"({leaf_np.nbytes/1e6:.0f} MB)", file=sys.stderr)
         paths = [tree.get_path(i) for i in idxs]
         return (t_prod, t_merkle, time.perf_counter() - t2, idxs, leaf_np,
                 paths)
@@ -267,7 +285,8 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
                 make_chunk, staged.n2 // staged.chunk_a)
             enc1 = enc_ct.data
             enc1.block_until_ready()
-            gather = lambda ps: enc1[jnp.asarray(np.array(ps))]
+            gather = lambda ps: fn_gather_c(
+                enc1, jnp.asarray(np.asarray(ps, np.int32)))
         # products-level matrix: SECOND PASS over the client's ciphertext
         # stream, rescaled on device (server work, COUNTED) - never
         # re-encrypted (fhe/ligero.py derive_products_matrix). Chunk
@@ -293,7 +312,8 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         t_prodmat = time.perf_counter() - te
         enc1, digests = fn_enc_c(full_ct.data)
         enc_scales = None
-        gather = lambda ps: enc1[jnp.asarray(np.array(ps))]
+        gather = lambda ps: fn_gather_c(
+                enc1, jnp.asarray(np.asarray(ps, np.int32)))
         # no block on enc1: the tail's gather/products enqueue behind the
         # encode on the device stream while the host samples the queries
         t_prod, t_merkle, t_query, idxs, leaf_np, paths = overlapped_tail(
@@ -308,7 +328,9 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         scales = (enc_scales if enc_scales is not None
                   else ligero_ntt_scales(t, field.n, cols * rho))
         check_pos = [0, 1, cols, cols * rho - 1]
-        sub = CtBatch(data=gather(check_pos), level=1)
+        # pad to the query count: gather is one AOT program of that shape
+        padded = check_pos + [0] * (committer.meta.queries - len(check_pos))
+        sub = CtBatch(data=gather(padded)[:len(check_pos)], level=1)
         dec = np.asarray(backend.decrypt_values(sub, sk, rows))
         pt_enc = np.asarray(_encode_fn(field, rho)(
             jnp.asarray(matrix[:4, :], jnp.uint64)))  # first 4 rows encoded

@@ -288,16 +288,42 @@ class StagedEncode:
         p = np.arange(self.size)
         return (p % self.n1) * self.n2 + p // self.n1
 
+    def _gather_cells_fn(self, n_blocks: int):
+        """One-program queried-column gather over the cell blocks.
+
+        A per-position eager slice loop costs one tunnel round-trip per
+        query (~306 dispatches); this is a single jitted program: each
+        block contributes a static-shape [q]-row gather (clamped indices)
+        and a lane select folds the per-block results together."""
+        bw = self.n1 // n_blocks
+        key = ("GC", id(self.backend), self.size, bw, n_blocks)
+        if key not in _CACHE:
+            n1 = self.n1
+
+            def impl(pos, *blocks):
+                i = pos % n1
+                j = pos // n1
+                blk = i // bw
+                row = i % bw
+                out = jnp.zeros((pos.shape[0],) + blocks[0].shape[2:],
+                                blocks[0].dtype)
+                for b in range(n_blocks):
+                    hit = blk == b
+                    sel = blocks[b][jnp.where(hit, row, 0),
+                                    jnp.where(hit, j, 0)]
+                    out = jnp.where(hit[:, None, None, None], sel, out)
+                return out
+            _CACHE[key] = jax.jit(impl)
+        return _CACHE[key]
+
     def gather_positions(self, cells_blocks: list, positions) -> "jnp.ndarray":
         """Reference-order positions -> [k, 2, 2, N] level-1 cts."""
-        bw = self.n1 // len(cells_blocks)
-        out = []
-        for p in positions:
-            i, j = int(p) % self.n1, int(p) // self.n1
-            out.append(cells_blocks[i // bw][i % bw, j])
-        return jnp.stack(out)
+        fn = self._gather_cells_fn(len(cells_blocks))
+        pos = jnp.asarray(np.asarray(positions, dtype=np.int32))
+        return fn(pos, *cells_blocks)
 
-    def precompile_cells(self, n_blocks: int) -> None:
+    def precompile_cells(self, n_blocks: int, n_queries: int | None = None
+                         ) -> None:
         """AOT-compile the cells-mode programs before big buffers exist."""
         import jax as _jax
         n = self.backend.n
@@ -315,6 +341,11 @@ class StagedEncode:
         nl = unit_schedule(self.field, self.n2, self.n2).n_layers
         wshape = _jax.ShapeDtypeStruct((bw, nl, self.n2, Lm), u64)
         self._stage_bd_fn(bw).lower(blk, wshape, wshape).compile()
+        if n_queries is not None:
+            out_blk = _jax.ShapeDtypeStruct((bw, self.n2, 2, 2, n), u64)
+            self._gather_cells_fn(n_blocks).lower(
+                _jax.ShapeDtypeStruct((n_queries,), jnp.int32),
+                *([out_blk] * n_blocks)).compile()
 
     def run_streaming_cells(self, make_chunk, n_chunks: int,
                             n_blocks: int = 4):
