@@ -88,6 +88,16 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     from lumenos_tpu.fhe.bigbatch import encrypt_big_batch
 
     t = GOLDILOCKS_57
+    # device init FIRST (before keygen compiles anything): the tunnel's
+    # TPU runtime spin-up after a container restart took 700 s once —
+    # time it separately and satisfy the watchdog before heavy work
+    import jax
+    t0 = time.perf_counter()
+    jax.devices()
+    _INIT_OK[0] = True
+    t_init = time.perf_counter() - t0
+    if t_init > 1.0:
+        print(f"[{rows}x{cols}] device init: {t_init:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     params = generate_bgv_params_for_ntt(cols, log_n, t)
     backend = BgvBackend(params)
@@ -103,9 +113,6 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
 
     # pre-compile EVERY device program before any large allocation exists
     # (trace/compile with a ~full chip is what OOMs at the big configs)
-    import jax
-    jax.devices()
-    _INIT_OK[0] = True
     t0 = time.perf_counter()
     ext_cols = cols * rho
     n = params.n
@@ -406,15 +413,15 @@ def _tunnel_guard() -> None:
               "aborting before jax init (would hang)", file=sys.stderr)
         raise SystemExit(3)
 
-    # watchdog: device INIT (not compile) must complete within 15 min -
+    # watchdog: device INIT (not compile) must complete within 25 min -
     # run_config sets _INIT_OK[0] right after jax.devices() returns. A
     # half-dead tunnel (port open, upstream gone) otherwise hangs the
     # whole driver budget with no diagnosis.
     def watch():
         import time as _t
-        _t.sleep(900)
+        _t.sleep(1500)
         if not _INIT_OK[0]:
-            print("bench: jax device init did not complete in 900 s - "
+            print("bench: jax device init did not complete in 1500 s - "
                   "tunnel half-dead; exiting", file=sys.stderr)
             os._exit(4)
     threading.Thread(target=watch, daemon=True).start()
