@@ -86,6 +86,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         build_challenge_encode)
     from lumenos_tpu.fhe.hntt import min_start_level, ligero_ntt_scales
     from lumenos_tpu.fhe.bigbatch import encrypt_big_batch
+    from lumenos_tpu.ops.devsync import sync
 
     t = GOLDILOCKS_57
     # device init FIRST (before keygen compiles anything): the tunnel's
@@ -209,7 +210,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     else:
         full_ct = encrypt_big_batch(backend, full_vals, pk, rng, start_level,
                                     chunk=512)
-        full_ct.data.block_until_ready()
+        sync(full_ct.data)
     print(f"[{rows}x{cols}] matrix gen + encrypt: "
           f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
@@ -236,7 +237,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         tr.append_field("point", point)
         idxs = sample_query_indices(tr, committer.meta.queries, cols * rho)
         leaf_dev = gather(idxs)
-        leaf_dev.block_until_ready()
+        sync(leaf_dev)
         t_gather = time.perf_counter() - t0b
         print(f"[{rows}x{cols}]   tail: gather {t_gather:.2f}s",
               file=sys.stderr)
@@ -253,7 +254,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
                 break
         t_cp = time.perf_counter()
         mr1, mz1 = fn_prod_c(prod_data, pt_r, pt_b)
-        mr1.block_until_ready()
+        sync(mr1)
         backend.mul_count += 2 * cols   # one ct x pt per column per challenge
         t1 = time.perf_counter()
         print(f"[{rows}x{cols}]   tail: products(+xfer in flight) "
@@ -291,7 +292,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             enc_ct, digests, enc_scales, t_encode_run = staged.run_streaming(
                 make_chunk, staged.n2 // staged.chunk_a)
             enc1 = enc_ct.data
-            enc1.block_until_ready()
+            sync(enc1)
             gather = lambda ps: fn_gather_c(
                 enc1, jnp.asarray(np.asarray(ps, np.int32)))
         # products-level matrix: SECOND PASS over the client's ciphertext
@@ -302,7 +303,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         rng.bit_generator.state = enc_rng_state
         prod_ct, t_prodmat = derive_products_matrix(
             backend, staged, make_chunk, cols, prod_level)
-        prod_ct.data.block_until_ready()
+        sync(prod_ct.data)
         print(f"[{rows}x{cols}] products-matrix rescale: {t_prodmat:.2f}s",
               file=sys.stderr)
         t_prod, t_merkle, t_query, idxs, leaf_np, paths = overlapped_tail(
@@ -315,7 +316,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         # products-level matrix from the encode-level cts (counted)
         te = time.perf_counter()
         prod_data = fn_prodmat_c(full_ct.data[:cols])
-        prod_data.block_until_ready()
+        sync(prod_data)
         t_prodmat = time.perf_counter() - te
         enc1, digests = fn_enc_c(full_ct.data)
         enc_scales = None

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.field import PrimeField
+from ..ops.devsync import sync
 from ..core.ligero_plain import (
     LigeroCommitter, LigeroMetadata, Proof, QueriedColumn, sample_query_indices,
     _powers,
@@ -176,7 +177,7 @@ def commit(
         encoded = CtBatch(data=enc_data, level=1)
         scales = ligero_ntt_scales(field.modulus, field.n,
                                    meta.cols * meta.rho_inv)
-        encoded.data.block_until_ready()
+        sync(encoded.data)
         # the fused encode program performs one ct x scalar cofactor mul
         # per position per schedule layer (reference counts these via
         # evaluator Mul, fhe/bfv.go:34-46)
@@ -260,10 +261,10 @@ def derive_products_matrix(backend: BgvBackend, staged, make_chunk,
     t_dev = 0.0
     for jc in range(n2 // ca):
         chunk = make_chunk(jc)
-        chunk.block_until_ready()
+        sync(chunk)
         t0 = _time.perf_counter()
         buf = upd(buf, extract(chunk[:n1h]), jc * ca)
-        buf.block_until_ready()
+        sync(buf)
         t_dev += _time.perf_counter() - t0
         del chunk
     # grid position p = i*n2 + j == matrix column index, so a row-major
@@ -310,7 +311,7 @@ def commit_streaming_cts(
         staged = StagedEncode(backend, field, size, lvl)
         enc_ct, digests, scales, _ = staged.run_streaming(
             chunk_source(staged), staged.n2 // staged.chunk_a)
-        enc_ct.data.block_until_ready()
+        sync(enc_ct.data)
         from .hsched import unit_schedule
         backend.mul_count += unit_schedule(field, size, size).n_layers * size
     with start_span("Merkle tree built", ctx):
@@ -318,7 +319,7 @@ def commit_streaming_cts(
     with start_span("Products-level matrix (rescale received cts)", ctx):
         prod_ct, _ = derive_products_matrix(
             backend, staged, chunk_source(staged), meta.cols, prod_level)
-        prod_ct.data.block_until_ready()
+        sync(prod_ct.data)
     return HomomorphicLigeroProver(
         committer=committer, backend=backend, matrix_ct=prod_ct,
         encoded_lvl1=enc_ct,
@@ -400,7 +401,7 @@ def prove(
         mr1, mz1 = fn(prover.matrix_ct.data, pt_r, pt_b)
         mat_r = CtBatch(data=mr1, level=1)
         mat_z = CtBatch(data=mz1, level=1)
-        mat_r.data.block_until_ready()
+        sync(mat_r.data)
         backend.mul_count += 2 * cols   # one ct x pt per column per challenge
 
     if ring_switch is not None:
@@ -409,7 +410,7 @@ def prove(
             from .ring_switch import ring_switch_batch
             mat_r = ring_switch_batch(backend, mat_r, evk, k)
             mat_z = ring_switch_batch(backend, mat_z, evk, k)
-            mat_r.data.block_until_ready()
+            sync(mat_r.data)
 
     transcript.append_field("point", point)
 

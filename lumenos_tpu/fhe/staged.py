@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.field import PrimeField
+from ..ops.devsync import sync
 from ..core.ntt import sqrt_factor, twiddle_matrix
 from ..ops.sha256_jax import sha256_leaves_striped
 from .backend import BgvBackend, CtBatch
@@ -183,10 +184,10 @@ class StagedEncode:
             cw = min(self.chunk_b, self.n1 - i0)
             fb = _stage_b_fn(self.backend, self.field, self.n2, cw, self.mid)
             ob = fb(small[i0:i0 + cw], *self._row_chunk_res(i0, cw))
-            ob.block_until_ready()
+            sync(ob)
             outs.append(ob)
         cells = jnp.concatenate(outs, axis=0)
-        cells.block_until_ready()
+        sync(cells)
         if os.environ.get("LUMENOS_STAGED_PROFILE"):
             import sys
             print(f"[staged] stage B: {_time.perf_counter() - t0:.2f}s",
@@ -217,11 +218,11 @@ class StagedEncode:
         prof = os.environ.get("LUMENOS_STAGED_PROFILE")
         for k in range(n_chunks):
             chunk = make_chunk(k)
-            chunk.block_until_ready()
+            sync(chunk)
             t0 = _time.perf_counter()
             out = fa(chunk)
             small = upd(small, out, k * self.chunk_a)
-            small.block_until_ready()
+            sync(small)
             t_dev += _time.perf_counter() - t0
             del chunk, out
         if prof:
@@ -231,7 +232,7 @@ class StagedEncode:
         del small
         t1 = _time.perf_counter()
         flat, digests = _finalize_fn(self.size, backend.n)(cells)
-        flat.block_until_ready()
+        sync(flat)
         if prof:
             print(f"[staged] finalize+digests: "
                   f"{_time.perf_counter() - t1:.2f}s", file=sys.stderr)
@@ -366,11 +367,11 @@ class StagedEncode:
         t_dev = 0.0
         for k in range(n_chunks):
             chunk = make_chunk(k)
-            chunk.block_until_ready()
+            sync(chunk)
             t0 = _time.perf_counter()
             out = fa(chunk)
             blocks = list(scat(out, k * self.chunk_a, *blocks))
-            blocks[-1].block_until_ready()
+            sync(blocks[-1])
             t_dev += _time.perf_counter() - t0
             del chunk, out
         t0 = _time.perf_counter()
@@ -456,11 +457,11 @@ class StagedEncode:
         mids = []
         for k in range(len(j_chunks)):
             out = fa(j_chunks[k])
-            out.block_until_ready()  # serialize: avoid stacked executable temps
+            sync(out)  # serialize: avoid stacked executable temps
             mids.append(out)
             j_chunks[k] = None
         small = jnp.concatenate(mids, axis=1)   # [n1, n2, 2, Lm, N]
-        small.block_until_ready()
+        sync(small)
         del mids
         cells = self._run_stage_b(small)
         del small

@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp
+from lumenos_tpu.ops.devsync import sync
 
 from lumenos_tpu.core.field import GOLDILOCKS_57
 from lumenos_tpu.fhe.backend import BgvBackend, CtBatch
@@ -51,7 +52,7 @@ def main() -> None:
         ref = np.asarray(sequential(backend, xd, level, target))
         t0 = time.time()
         got = rescale_chain_pallas(xd, params.q_primes, level, target)
-        got.block_until_ready()
+        sync(got)
         dt = time.time() - t0
         eq = np.array_equal(ref, np.asarray(got))
         print(f"chain ({level:2d}->{target}): compile+run {dt:6.1f}s "
@@ -73,10 +74,10 @@ def main() -> None:
     pal_j = jax.jit(lambda v: rescale_chain_pallas(
         v, params.q_primes, level, target))
     for name, fn in (("xla-seq", seq_j), ("pallas", pal_j)):
-        fn(xd).block_until_ready()          # compile
+        sync(fn(xd))          # compile
         t0 = time.time()
         for _ in range(3):
-            fn(xd).block_until_ready()
+            sync(fn(xd))
         print(f"{name}: {(time.time() - t0) / 3:.3f} s/iter "
               f"({x.nbytes / 2**30:.1f} GiB in)", flush=True)
     # validation marker: backend.rescale_to enables the fast path by
