@@ -38,7 +38,8 @@ from ..core.tracer import Span, start_span
 from ..core.transcript import Transcript
 from .backend import BgvBackend, CtBatch, PublicKey, SecretKey
 from .hntt import ligero_ntt_scales
-from .pipeline import build_encode_pipeline, build_products_pipeline
+from .pipeline import (build_encode_pipeline, build_products_pipeline,
+                       products_apply)
 from .ring import barrett_mul
 
 
@@ -397,8 +398,8 @@ def prove(
         enc = backend.encoder
         pt_r = backend._ntt(enc.lift_to_rns(enc.encode(r), lvl), lvl)
         pt_b = backend._ntt(enc.lift_to_rns(enc.encode(b), lvl), lvl)
-        fn = build_products_pipeline(backend, level=lvl)
-        mr1, mz1 = fn(prover.matrix_ct.data, pt_r, pt_b)
+        mr1, mz1 = products_apply(backend, prover.matrix_ct.data,
+                                  pt_r, pt_b, level=lvl)
         mat_r = CtBatch(data=mr1, level=1)
         mat_z = CtBatch(data=mz1, level=1)
         sync(mat_r.data)

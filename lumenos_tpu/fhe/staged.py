@@ -269,19 +269,79 @@ class StagedEncode:
             _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
         return _CACHE[key]
 
+    def _bd_cw(self, bw: int) -> int:
+        """Stage-B sub-chunk rows: while the whole mid buffer is still
+        live (~12.9 GB at LogN=14), the per-call program footprint
+        (input copy + ~4.5x HLO temps + the cells output block) must fit
+        the remaining HBM. Whole-block when it fits, else the largest
+        power-of-two row count that does."""
+        mid_total = self.size * 2 * (self.mid + 1) * self.backend.n * 8
+        row = self.n2 * 2 * (self.mid + 1) * self.backend.n * 8
+        cells_blk = self.n2 * bw * 2 * 2 * self.backend.n * 8
+        avail = 15.0e9 - mid_total - cells_blk
+        if avail >= 5.5 * row * bw:
+            return bw
+        cw = max(1, min(bw, int(avail / (5.5 * row))))
+        while cw & (cw - 1):
+            cw &= cw - 1
+        return cw
+
+    def _bd_slice_upd(self, bw: int, cw: int):
+        """(slice, update) programs for sub-chunked stage B over a block."""
+        Lm = self.mid + 1
+        n = self.backend.n
+        key = ("BDS", self.size, bw, cw, Lm, n)
+        if key not in _CACHE:
+            sl = jax.jit(lambda blk, r0: jax.lax.dynamic_slice_in_dim(
+                blk, r0, cw, 0))
+            upd = jax.jit(lambda buf, c, r0: jax.lax.dynamic_update_slice(
+                buf, c, (r0, 0, 0, 0, 0)), donate_argnums=(0,))
+            _CACHE[key] = (sl, upd)
+        return _CACHE[key]
+
+    def _run_bd_block(self, blk, b: int, bw: int, cw: int):
+        """Stage B + digests for mid block b, in cw-row sub-chunks.
+        Returns (cells_b [bw, n2, 2, 2, N], digests np [bw*n2, 8])."""
+        if cw >= bw:
+            cells_b, dig_b = self._stage_bd_fn(bw)(
+                blk, *self._row_chunk_res(b * bw, bw))
+            return cells_b, np.asarray(dig_b)
+        sl, upd = self._bd_slice_upd(bw, cw)
+        fbd = self._stage_bd_fn(cw)
+        n = self.backend.n
+        cells_b = jnp.zeros((bw, self.n2, 2, 2, n), jnp.uint64)
+        digs = []
+        for r0 in range(0, bw, cw):
+            sub = sl(blk, r0)
+            cell_s, dig_s = fbd(sub, *self._row_chunk_res(b * bw + r0, cw))
+            digs.append(np.asarray(dig_s))          # tiny d2h; real fence
+            cells_b = upd(cells_b, cell_s, r0)
+            del sub, cell_s
+        return cells_b, np.concatenate(digs, axis=0)
+
     def _scatter_fn(self, bw: int, n_blocks: int, Lm: int):
-        """One program: split a stage-A output across the mid blocks."""
+        """Per-block programs splitting a stage-A output across the mid
+        blocks. One program updating all n_blocks at once presents every
+        block as input AND output; the TPU compiler's HBM estimate does
+        not credit donation aliasing, so at LogN=14 it rejects the
+        program outright (20.25G estimated vs 15.75G). Per-block updates
+        keep each program's footprint at one block (donated in-place at
+        run time) plus the chunk slice."""
         key = ("SC", self.size, bw, n_blocks, Lm, self.backend.n,
                self.chunk_a)
         if key not in _CACHE:
-            def impl(out, j0, *blocks):
-                return tuple(
-                    jax.lax.dynamic_update_slice(
-                        blocks[b], out[b * bw:(b + 1) * bw],
-                        (0, j0, 0, 0, 0))
-                    for b in range(n_blocks))
-            _CACHE[key] = jax.jit(
-                impl, donate_argnums=tuple(range(2, 2 + n_blocks)))
+            def mk(b):
+                def impl(out, j0, blk):
+                    return jax.lax.dynamic_update_slice(
+                        blk, out[b * bw:(b + 1) * bw], (0, j0, 0, 0, 0))
+                return jax.jit(impl, donate_argnums=(2,))
+            fns = [mk(b) for b in range(n_blocks)]
+
+            def scatter(out, j0, *blocks):
+                return [fns[b](out, j0, blocks[b])
+                        for b in range(n_blocks)]
+            scatter.fns = fns
+            _CACHE[key] = scatter
         return _CACHE[key]
 
     def ref_to_cell_perm(self) -> np.ndarray:
@@ -336,12 +396,23 @@ class StagedEncode:
                     self.level, self.mid).lower(
             _jax.ShapeDtypeStruct((self.n1, self.chunk_a, 2, L, n), u64)).compile()
         blk = _jax.ShapeDtypeStruct((bw, self.n2, 2, Lm, n), u64)
-        self._scatter_fn(bw, n_blocks, Lm).lower(
-            _jax.ShapeDtypeStruct((self.n1, self.chunk_a, 2, Lm, n), u64),
-            0, *([blk] * n_blocks)).compile()
+        out_sd = _jax.ShapeDtypeStruct((self.n1, self.chunk_a, 2, Lm, n), u64)
+        for fn in self._scatter_fn(bw, n_blocks, Lm).fns:
+            fn.lower(out_sd, 0, blk).compile()
         nl = unit_schedule(self.field, self.n2, self.n2).n_layers
-        wshape = _jax.ShapeDtypeStruct((bw, nl, self.n2, Lm), u64)
-        self._stage_bd_fn(bw).lower(blk, wshape, wshape).compile()
+        cw = self._bd_cw(bw)
+        if cw >= bw:
+            wshape = _jax.ShapeDtypeStruct((bw, nl, self.n2, Lm), u64)
+            self._stage_bd_fn(bw).lower(blk, wshape, wshape).compile()
+        else:
+            sl, upd = self._bd_slice_upd(bw, cw)
+            sub = _jax.ShapeDtypeStruct((cw, self.n2, 2, Lm, n), u64)
+            sl.lower(blk, 0).compile()
+            wshape = _jax.ShapeDtypeStruct((cw, nl, self.n2, Lm), u64)
+            self._stage_bd_fn(cw).lower(sub, wshape, wshape).compile()
+            cbuf = _jax.ShapeDtypeStruct((bw, self.n2, 2, 2, n), u64)
+            csub = _jax.ShapeDtypeStruct((cw, self.n2, 2, 2, n), u64)
+            upd.lower(cbuf, csub, 0).compile()
         if n_queries is not None:
             out_blk = _jax.ShapeDtypeStruct((bw, self.n2, 2, 2, n), u64)
             self._gather_cells_fn(n_blocks).lower(
@@ -349,7 +420,7 @@ class StagedEncode:
                 *([out_blk] * n_blocks)).compile()
 
     def run_streaming_cells(self, make_chunk, n_chunks: int,
-                            n_blocks: int = 4):
+                            n_blocks: int = 4, bd_cw: int | None = None):
         """Returns (cells_blocks, digests_ref [size,8] u32 on host,
         final_scales, device_seconds). Bit-identical content to
         run_streaming (tests/test_staged.py cross-checks)."""
@@ -377,10 +448,10 @@ class StagedEncode:
         t0 = _time.perf_counter()
         cells_blocks = []
         dig_parts = []
-        fbd = self._stage_bd_fn(bw)
+        cw = self._bd_cw(bw) if bd_cw is None else bd_cw
         for b in range(n_blocks):
-            cells_b, dig_b = fbd(blocks[b], *self._row_chunk_res(b * bw, bw))
-            dig_parts.append(np.asarray(dig_b))     # [bw*n2, 8] tiny
+            cells_b, dig_b = self._run_bd_block(blocks[b], b, bw, cw)
+            dig_parts.append(dig_b)                  # [bw*n2, 8] tiny
             cells_blocks.append(cells_b)
             blocks[b] = None                         # free this mid block
         dig_cells = np.concatenate(dig_parts, axis=0)

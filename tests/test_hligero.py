@@ -151,3 +151,26 @@ def test_commit_streaming_end_to_end(setup):
                                  Transcript("test"))
     assert np.array_equal(proof.mat_r, ref.mat_r)
     assert np.array_equal(proof.mat_z, ref.mat_z)
+
+
+def test_products_chunked(setup):
+    """products_apply chunked == one-program pipeline, bit-exact."""
+    from lumenos_tpu.fhe.pipeline import (build_products_pipeline,
+                                          products_apply)
+    backend, sk, field, matrix, committer, eproof = setup
+    rng = np.random.default_rng(7)
+    sk2, pk2 = backend.keygen(rng)
+    ct = backend.encrypt_values(np.ascontiguousarray(matrix.T), pk2, rng)
+    lvl = ct.level
+    enc = backend.encoder
+    r = np.arange(1, ROWS + 1, dtype=np.uint64)
+    b = np.arange(2, ROWS + 2, dtype=np.uint64)
+    pt_r = backend._ntt(enc.lift_to_rns(enc.encode(r), lvl), lvl)
+    pt_b = backend._ntt(enc.lift_to_rns(enc.encode(b), lvl), lvl)
+    one = build_products_pipeline(backend, level=lvl)
+    mr0, mz0 = one(ct.data, pt_r, pt_b)
+    # tiny budget forces maximal chunking
+    mr1, mz1 = products_apply(backend, ct.data, pt_r, pt_b,
+                              level=lvl, max_temp_bytes=1.0)
+    assert np.array_equal(np.asarray(mr0), np.asarray(mr1))
+    assert np.array_equal(np.asarray(mz0), np.asarray(mz1))

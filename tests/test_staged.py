@@ -138,3 +138,24 @@ def test_streaming_cells_asymmetric_blocks(setup):
     pos = [0, 3, 5, SIZE2 - 1, 17]
     got = np.asarray(st.gather_positions(cells_blocks, pos))
     assert np.array_equal(got, flat[np.array(pos)])
+
+
+def test_streaming_cells_subchunked_stage_b(setup):
+    """bd_cw=1 (the HBM-constrained LogN=14 shape) must be bit-identical
+    to whole-block stage B."""
+    backend, sk, field, ct = setup
+    st = StagedEncode(backend, field, SIZE, start_level=5, mid_level=3,
+                      chunk_a=2, chunk_b=2)
+    grid = ct.data.reshape((st.n1, st.n2) + ct.data.shape[1:])
+
+    def make_chunk(k):
+        return jnp.asarray(np.ascontiguousarray(np.asarray(
+            grid[:, k * st.chunk_a:(k + 1) * st.chunk_a])))
+
+    full = st.run_streaming_cells(make_chunk, st.n2 // st.chunk_a,
+                                  n_blocks=2)
+    sub = st.run_streaming_cells(make_chunk, st.n2 // st.chunk_a,
+                                 n_blocks=2, bd_cw=1)
+    assert np.array_equal(sub[1], full[1])              # digests
+    for a, b in zip(full[0], sub[0]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
