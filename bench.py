@@ -7,23 +7,48 @@ than the reference's 32-vCPU m7i.8xlarge numbers, BASELINE.md). The
 headline metric is the largest completed config; per-config results are
 in "configs".
 
-Robustness (the round-1 driver run timed out with no number - VERDICT
-item 1):
-  - keygen and all challenge encodes are single jitted programs (no
-    eager per-op remote compiles);
-  - the persistent XLA compile cache lives in-repo (.jax_cache/tpu,
-    committed), so even a cold container hits warm compiles;
-  - SIGTERM/SIGINT print the best-so-far JSON line before exiting, so a
-    driver timeout still yields a parsed result;
-  - a soft wall-clock budget (LUMENOS_BENCH_BUDGET, default 2200 s:
-    all four reference configs with warm caches; SIGTERM still emits
-    completed configs if an outer driver timeout fires first)
-    gates starting the next config.
-  - the decrypt spot-check vs the plaintext oracle is ON by default
-    (set LUMENOS_BENCH_NOCHECK=1 to skip).
+Structure of one timed config run (round 4 — all four configs share the
+cells-layout staged path; the monolithic/flat branches that made
+2048x1024 compile its own one-off programs are gone):
 
-Config via env: LUMENOS_BENCH_CONFIGS="2048x1024,8192x4096" (default),
-each entry ROWSxCOLS with LogN from the reference table (README.md:61).
+  1. host transcript: sample r, append point, sample query indices —
+     BEFORE any device work. Sound: the Fiat-Shamir transcript never
+     absorbs the Merkle root (reference fhe/ligero.go:199 keeps it out),
+     so challenges and query positions depend only on host state. This
+     lets the queried-column device->host transfer START as soon as each
+     stage-B block lands, riding under everything that follows.
+  2. staged cells encode (stage A over j-chunks, stage B over i-blocks);
+     per block: gather that block's queried columns, start async d2h.
+     Single-pass products-matrix sink: each received encode-level chunk
+     is also rescaled to the products level on first read (no second
+     pass) when the [cols] buffer fits HBM next to the mid buffer;
+     two-pass derive_products_matrix (inside the transfer window)
+     otherwise (16384x4096).
+  3. products (MatR/MatZ), Merkle fold, then the residual wait on the
+     in-flight queried-column transfer is the query phase.
+
+total_s = encode + prodmat + products + merkle + query. The queried-
+column d2h is COUNTED (it is mostly hidden under 2-3); on this tunnel it
+moves at 16-33 MB/s vs >10 GB/s on production PCIe, so the query/products
+residuals here are upper bounds.
+
+Correctness per config (LUMENOS_BENCH_NOCHECK=1 skips):
+  - spot-check: decrypted codeword positions vs the plaintext oracle and
+    two MatR c0-decodes vs host inner products;
+  - FULL proof verification (round-3 verdict item 7): decrypt the entire
+    queried-column set + MatR/MatZ, assemble the plaintext proof, and run
+    the public verifier (core/ligero_plain.verify) against the
+    polynomial evaluation — reported as "full_proof_verify".
+The client decrypt phases are timed on-chip while doing so (reference
+client table README.md:85-92) — "client_decrypt_*" fields.
+
+Robustness: keygen and all device programs are AOT-compiled before any
+large allocation; the persistent XLA compile cache lives in-repo
+(.jax_cache/tpu); SIGTERM/SIGINT print best-so-far JSON; a soft budget
+(LUMENOS_BENCH_BUDGET, default 2200 s) gates starting the next config.
+
+Config via env: LUMENOS_BENCH_CONFIGS="2048x1024,8192x4096", each entry
+ROWSxCOLS with LogN from the reference table (README.md:61).
 """
 
 import json
@@ -41,6 +66,14 @@ REFERENCE = {
     (4096, 2048): {"prove_total": 24.17 + 12.63 + 2.04, "logn": 12},
     (8192, 4096): {"prove_total": 113.16 + 66.78 + 9.17, "logn": 13},
     (16384, 4096): {"prove_total": 255.12 + 142.73 + 18.79, "logn": 14},
+}
+
+# reference client decrypt times (README.md:85-87, m6i.large 2 vCPU)
+REFERENCE_CLIENT = {
+    (2048, 1024): {"cols": 0.0959, "mats": 0.5316, "total": 0.6275},
+    (4096, 2048): {"cols": 0.1077, "mats": 1.05, "total": 1.16},
+    (8192, 4096): {"cols": 0.2201, "mats": 4.32, "total": 4.54},
+    (16384, 4096): {"cols": 0.5133, "mats": 47.53, "total": 48.05},
 }
 
 RESULTS: dict = {}          # "ROWSxCOLS" -> per-config result dict
@@ -81,20 +114,23 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     from lumenos_tpu.core.merkle_fast import FastMerkleTree
     from lumenos_tpu.core.transcript import Transcript
     from lumenos_tpu.core.ligero_plain import _powers, sample_query_indices
-    from lumenos_tpu.fhe.backend import BgvBackend
+    from lumenos_tpu.fhe.backend import BgvBackend, CtBatch
     from lumenos_tpu.fhe.params import generate_bgv_params_for_ntt
     from lumenos_tpu.fhe.pipeline import (
-        build_encode_pipeline_full, build_products_pipeline,
-        build_challenge_encode)
-    from lumenos_tpu.fhe.hntt import min_start_level, ligero_ntt_scales
-    from lumenos_tpu.fhe.bigbatch import encrypt_big_batch
+        build_products_pipeline, build_challenge_encode)
+    from lumenos_tpu.fhe.hntt import min_start_level
+    from lumenos_tpu.fhe.staged import StagedEncode, _hbm_budget
+    from lumenos_tpu.fhe.ligero import (
+        ProductsSink, derive_products_matrix, precompile_products_extract)
     from lumenos_tpu.ops.devsync import sync
+    from lumenos_tpu.ops.sha256_jax import digests_to_bytes
 
     t = GOLDILOCKS_57
     # device init FIRST (before keygen compiles anything): the tunnel's
     # TPU runtime spin-up after a container restart took 700 s once —
     # time it separately and satisfy the watchdog before heavy work
     import jax
+    import jax.numpy as jnp
     t0 = time.perf_counter()
     jax.devices()
     _INIT_OK[0] = True
@@ -113,63 +149,67 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
 
     start_level = min_start_level(params, cols * rho)
     prod_level = 2   # one pt-mul of headroom (DESIGN.md budget analysis)
-
-    # pre-compile EVERY device program before any large allocation exists
-    # (trace/compile with a ~full chip is what OOMs at the big configs)
-    t0 = time.perf_counter()
     ext_cols = cols * rho
     n = params.n
     u64 = np.uint64
-    # staged two-pass encode for batches whose monolithic program exceeds
-    # HBM liveness (DESIGN.md section 7 / fhe/staged.py)
-    staged = None
-    use_cells = False
-    n_blocks = 1
-    force_cells = os.environ.get("LUMENOS_BENCH_FORCE_CELLS") == "1"
-    if force_cells or ext_cols * 2 * (start_level + 1) * n * 8 > 1.5e9:
-        from lumenos_tpu.fhe.staged import StagedEncode
-        staged = StagedEncode(backend, field, ext_cols, start_level)
-        # cells mode (no flat copy, blocked mid) when flat-mode peak
-        # (2x output copy + whole mid buffer) would crowd 16 GB HBM
-        cells_bytes = ext_cols * 2 * 2 * n * 8
-        mid_bytes = ext_cols * 2 * (staged.mid + 1) * n * 8
-        use_cells = force_cells or 2 * cells_bytes + mid_bytes > 11e9
-        if use_cells:
-            # input chunk <= ~0.8 GB; mid block <= ~2 GB (both powers of 2)
-            ca = max(1, int(0.8e9 // (staged.n1 * 2 * (start_level + 1) * n * 8)))
-            while ca & (ca - 1):
-                ca &= ca - 1
-            staged.chunk_a = min(max(ca, 1), staged.n2)
-            n_blocks = 1
-            while mid_bytes / n_blocks > 2e9 and n_blocks < staged.n1:
-                n_blocks *= 2
-    enc_chunk = staged.n1 * staged.chunk_a if staged else 512
+    n_queries = committer.meta.queries
+
+    # ---- host transcript first: challenges + query indices -------------
+    tr = Transcript("bench")
+    r = np.array([x % t for x in tr.sample_uints("r", rows)], dtype=np.uint64)
+    point = 7
+    b = _powers(field, pow(point, cols, t), rows)
+    tr.append_field("point", point)
+    idxs = sample_query_indices(tr, n_queries, ext_cols)
+
+    # ---- staged cells geometry (ALL configs share this path) -----------
+    staged = StagedEncode(backend, field, ext_cols, start_level)
+    # input chunk <= ~0.8 GB (powers of 2)
+    ca = max(1, int(0.8e9 // (staged.n1 * 2 * (start_level + 1) * n * 8)))
+    while ca & (ca - 1):
+        ca &= ca - 1
+    staged.chunk_a = min(max(ca, 1), staged.n2)
+    hbm = _hbm_budget()
+    mid_bytes = ext_cols * 2 * (staged.mid + 1) * n * 8
+    cells_bytes = ext_cols * 2 * 2 * n * 8
+    n_blocks = 4                       # early per-block transfers
+    while (mid_bytes / n_blocks > 2e9 and n_blocks < staged.n1):
+        n_blocks *= 2
+    n_blocks = min(n_blocks, staged.n1)
+    bw = staged.n1 // n_blocks
+    # single-pass products sink when its buffer fits next to the peak
+    prod_bytes = cols * 2 * (prod_level + 1) * n * 8
+    single_pass = mid_bytes + cells_bytes + prod_bytes + 2.5e9 < hbm
+    if single_pass:
+        staged.extra_resident_bytes = prod_bytes
+
+    # per-block query partition: block b owns queried positions whose
+    # cell row i = p % n1 lies in [b*bw, (b+1)*bw)
+    block_parts: list = [[] for _ in range(n_blocks)]   # (orig_i, row, j)
+    for oi, p in enumerate(idxs):
+        i, j = p % staged.n1, p // staged.n1
+        block_parts[i // bw].append((oi, i - (i // bw) * bw, j))
+
+    # ---- pre-compile EVERY device program before big buffers exist -----
+    t0 = time.perf_counter()
+    sds = lambda *s, dt=np.int64: jax.ShapeDtypeStruct(s, dt)
+    enc_chunk = staged.n1 * staged.chunk_a
     for lvl, nn in ((start_level, enc_chunk), (prod_level, 1024)):
-        sds = lambda *s, dt=np.int64: jax.ShapeDtypeStruct(s, dt)
         backend._encode_embed_jit(lvl).lower(
             sds(nn, rows, dt=u64)).compile()
         backend._encrypt_jit(lvl).lower(
             sds(nn, n), sds(nn, n), sds(nn, n),
             sds(nn, lvl + 1, n, dt=u64),
             sds(lvl + 1, n, dt=u64), sds(lvl + 1, n, dt=u64)).compile()
-    if staged is not None:
-        if use_cells:
-            staged.precompile_cells(n_blocks, committer.meta.queries)
-        else:
-            staged.precompile()
-        from lumenos_tpu.fhe.ligero import precompile_products_extract
-        precompile_products_extract(backend, staged, cols, prod_level)
-        fn_enc_c = None
-        fn_prodmat_c = None
-    else:
-        fn_enc = build_encode_pipeline_full(backend, field, ext_cols, start_level)
-        fn_enc_c = fn_enc.lower(jax.ShapeDtypeStruct(
-            (ext_cols, 2, start_level + 1, n), u64)).compile()
-        from lumenos_tpu.fhe.backend import CtBatch as _CtB
-        fn_prodmat = jax.jit(lambda d: backend.rescale_to(
-            _CtB(data=d, level=start_level), prod_level).data)
-        fn_prodmat_c = fn_prodmat.lower(jax.ShapeDtypeStruct(
-            (cols, 2, start_level + 1, n), u64)).compile()
+    staged.precompile_cells(n_blocks, n_queries)
+    precompile_products_extract(backend, staged, cols, prod_level)
+    # per-block queried-column gathers (exact static counts)
+    for bp in block_parts:
+        if bp:
+            staged.block_gather_fn(bw, len(bp)).lower(
+                sds(bw, staged.n2, 2, 2, n, dt=u64),
+                sds(len(bp), dt=np.int32), sds(len(bp), dt=np.int32)
+            ).compile()
     fn_prod = build_products_pipeline(backend, level=prod_level)
     # column-chunk the products when one whole-matrix program would blow
     # HBM: its HLO temps run ~4.5x the input bytes (measured: 13.5G temps
@@ -180,16 +220,17 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     n_pchunks = 1
     while in_bytes / n_pchunks * 4.5 > 4e9 and n_pchunks < cols:
         n_pchunks *= 2
+    assert cols % n_pchunks == 0, "power-of-two chunking needs 2^k cols"
     pchunk = cols // n_pchunks
     fn_prod_c1 = fn_prod.lower(
-        jax.ShapeDtypeStruct((pchunk, 2, prod_level + 1, n), u64),
-        jax.ShapeDtypeStruct((prod_level + 1, n), u64),
-        jax.ShapeDtypeStruct((prod_level + 1, n), u64)).compile()
+        sds(pchunk, 2, prod_level + 1, n, dt=u64),
+        sds(prod_level + 1, n, dt=u64),
+        sds(prod_level + 1, n, dt=u64)).compile()
     if n_pchunks > 1:
         fn_pslice = jax.jit(
             lambda d, c0: jax.lax.dynamic_slice_in_dim(d, c0, pchunk, 0)
-        ).lower(jax.ShapeDtypeStruct((cols, 2, prod_level + 1, n), u64),
-                jax.ShapeDtypeStruct((), np.int32)).compile()
+        ).lower(sds(cols, 2, prod_level + 1, n, dt=u64),
+                sds(dt=np.int32)).compile()
 
     def fn_prod_c(prod_data, pr, pb):
         """Returns (mr_chunks, mz_chunks): lists of [pchunk, ...] arrays."""
@@ -204,198 +245,210 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             mzs.append(mz)
         return mrs, mzs
     fn_chal = build_challenge_encode(backend, prod_level)
-    # queried-column gather: AOT like every other device program (an eager
-    # fancy-index here costs an online compile round-trip over the tunnel)
-    if staged is None or not use_cells:
-        import jax.numpy as _jnp
-        fn_gather_c = jax.jit(lambda bdat, i: bdat[i]).lower(
-            jax.ShapeDtypeStruct((ext_cols, 2, 2, n), u64),
-            jax.ShapeDtypeStruct((committer.meta.queries,), _jnp.int32),
-        ).compile()
     t_compile = time.perf_counter() - t0
-    print(f"[{rows}x{cols}] precompile: {t_compile:.1f}s", file=sys.stderr)
+    print(f"[{rows}x{cols}] precompile: {t_compile:.1f}s "
+          f"(n_blocks={n_blocks}, single_pass={single_pass})",
+          file=sys.stderr)
 
+    # ---- client-side data prep (untimed) -------------------------------
     t0 = time.perf_counter()
     matrix = random_matrix_row_major(rows, cols, t)
     full_vals = np.zeros((ext_cols, rows), dtype=np.uint64)
     full_vals[:cols] = matrix.T
-    if staged is not None:
-        # stage-A input chunks are encrypted JUST-IN-TIME inside the staged
-        # run (client work, untimed) so only one is ever device-resident.
-        # enc_rng_state lets the products pass REPLAY the identical
-        # ciphertext stream (= a production server re-reading received
-        # bytes; fhe/ligero.py commit_streaming).
-        grid = full_vals.reshape(staged.n1, staged.n2, rows)
-        enc_rng_state = rng.bit_generator.state
+    # stage-A input chunks are encrypted JUST-IN-TIME inside the staged
+    # run (client work, untimed) so only one is ever device-resident.
+    # enc_rng_state lets a second pass REPLAY the identical ciphertext
+    # stream (= a production server re-reading received bytes).
+    grid = full_vals.reshape(staged.n1, staged.n2, rows)
+    enc_rng_state = rng.bit_generator.state
 
-        def make_chunk(jc):
-            j0 = jc * staged.chunk_a
-            vals = np.ascontiguousarray(
-                grid[:, j0:j0 + staged.chunk_a].reshape(-1, rows))
-            ct = backend.encrypt_values(vals, pk, rng, level=start_level)
-            return ct.data.reshape(
-                (staged.n1, staged.chunk_a) + ct.data.shape[1:])
+    def make_chunk(jc):
+        j0 = jc * staged.chunk_a
+        vals = np.ascontiguousarray(
+            grid[:, j0:j0 + staged.chunk_a].reshape(-1, rows))
+        ct = backend.encrypt_values(vals, pk, rng, level=start_level)
+        return ct.data.reshape(
+            (staged.n1, staged.chunk_a) + ct.data.shape[1:])
 
-        full_ct = None
-    else:
-        full_ct = encrypt_big_batch(backend, full_vals, pk, rng, start_level,
-                                    chunk=512)
-        sync(full_ct.data)
-    print(f"[{rows}x{cols}] matrix gen + encrypt: "
+    print(f"[{rows}x{cols}] matrix gen: "
           f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # challenge plaintexts (host transcript; device encode, one program)
-    tr = Transcript("bench")
-    r = np.array([x % t for x in tr.sample_uints("r", rows)], dtype=np.uint64)
-    point = 7
-    b = _powers(field, pow(point, cols, t), rows)
-    import jax.numpy as jnp
-    pt_r, pt_b = fn_chal(jnp.asarray(r), jnp.asarray(np.asarray(b, np.uint64)))
+    pt_r, pt_b = fn_chal(jnp.asarray(r), jnp.asarray(np.asarray(b, u64)))
+    sync(pt_r)
 
-    # timed run: full server prove = device programs (encode + fused leaf
-    # digests + inner products) + host tree fold + query openings
-    from lumenos_tpu.ops.sha256_jax import digests_to_bytes
+    # ---- timed run -----------------------------------------------------
+    # per-block early transfer state
+    xfer_parts: list = [None] * n_blocks    # device arrays in flight
+    xfer_async = [True]
 
-    def overlapped_tail(gather, digests, prod_data):
-        """Products + Merkle fold + query openings, with the queried-column
-        device->host transfer riding concurrently. Sound: query indices
-        depend only on transcript state BEFORE the products (same order
-        as fhe/ligero.py prove and the reference prover).
-        `gather(positions) -> [k, 2, 2, N]` device array.
-        Returns (t_prod, t_merkle, t_query, idxs, leaf_np, paths)."""
-        t0b = time.perf_counter()
-        tr.append_field("point", point)
-        idxs = sample_query_indices(tr, committer.meta.queries, cols * rho)
-        leaf_dev = gather(idxs)
-        sync(leaf_dev)
-        t_gather = time.perf_counter() - t0b
-        print(f"[{rows}x{cols}]   tail: gather {t_gather:.2f}s",
-              file=sys.stderr)
-        # LUMENOS_D2H_SLICES=k: k concurrent async copies (separate relay
-        # streams aggregate bandwidth on some links; scripts/
-        # check_transfer.py measures whether they do here)
-        k_slices = int(os.environ.get("LUMENOS_D2H_SLICES", "1"))
-        parts = ([leaf_dev[i::k_slices] for i in range(k_slices)]
-                 if k_slices > 1 else [leaf_dev])
-        for part in parts:
-            try:
-                part.copy_to_host_async()
-            except Exception:   # no async d2h: sync np.asarray below
-                break
-        t_cp = time.perf_counter()
-        mr_chunks, mz_chunks = fn_prod_c(prod_data, pt_r, pt_b)
-        for _m in mr_chunks:
-            sync(_m)
-        backend.mul_count += 2 * cols   # one ct x pt per column per challenge
-        t1 = time.perf_counter()
-        print(f"[{rows}x{cols}]   tail: products(+xfer in flight) "
-              f"{t1 - t_cp:.2f}s", file=sys.stderr)
-        t_prod = t1 - t0b
-        overlapped_tail.t_prod_done = t1
-        overlapped_tail.mr1 = mr_chunks
-        tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
-        t_merkle = time.perf_counter() - t1
-        t2 = time.perf_counter()
-        if k_slices > 1:
-            outs = [np.asarray(p) for p in parts]
-            leaf_np = np.empty((len(idxs),) + outs[0].shape[1:],
-                               dtype=outs[0].dtype)
-            for i, o in enumerate(outs):
-                leaf_np[i::k_slices] = o
-        else:
-            leaf_np = np.asarray(leaf_dev)
-        print(f"[{rows}x{cols}]   tail: transfer residual "
-              f"{time.perf_counter() - t2:.2f}s "
-              f"({leaf_np.nbytes/1e6:.0f} MB)", file=sys.stderr)
-        paths = [tree.get_path(i) for i in idxs]
-        return (t_prod, t_merkle, time.perf_counter() - t2, idxs, leaf_np,
-                paths)
+    def on_block(bi, cells_b):
+        bp = block_parts[bi]
+        if not bp:
+            return
+        ri = jnp.asarray(np.array([x[1] for x in bp], np.int32))
+        ji = jnp.asarray(np.array([x[2] for x in bp], np.int32))
+        part = staged.block_gather_fn(bw, len(bp))(cells_b, ri, ji)
+        try:
+            part.copy_to_host_async()
+        except Exception:
+            xfer_async[0] = False       # sync np.asarray at collect time
+        xfer_parts[bi] = part
 
+    sink = ProductsSink(backend, staged, cols, prod_level) \
+        if single_pass else None
     t0 = time.perf_counter()
-    if staged is not None:
-        if use_cells:
-            cells_blocks, digests, enc_scales, t_encode_run = \
-                staged.run_streaming_cells(
-                    make_chunk, staged.n2 // staged.chunk_a,
-                    n_blocks=n_blocks)
-            gather = lambda ps: staged.gather_positions(cells_blocks, ps)
-        else:
-            enc_ct, digests, enc_scales, t_encode_run = staged.run_streaming(
-                make_chunk, staged.n2 // staged.chunk_a)
-            enc1 = enc_ct.data
-            sync(enc1)
-            gather = lambda ps: fn_gather_c(
-                enc1, jnp.asarray(np.asarray(ps, np.int32)))
-        # products-level matrix: SECOND PASS over the client's ciphertext
-        # stream, rescaled on device (server work, COUNTED) - never
-        # re-encrypted (fhe/ligero.py derive_products_matrix). Chunk
-        # re-encryption below replays the client's exact bytes (untimed).
-        from lumenos_tpu.fhe.ligero import derive_products_matrix
+    cells_blocks, digests, enc_scales, t_encode_run = \
+        staged.run_streaming_cells(
+            make_chunk, staged.n2 // staged.chunk_a, n_blocks=n_blocks,
+            on_block=on_block, prod_sink=sink)
+    if single_pass:
+        prod_ct = sink.finish()
+        t_prodmat = sink.t_dev
+    else:
+        # two-pass: the rescale pass runs while the queried-column d2h
+        # is in flight (round-3 verdict item 1)
         rng.bit_generator.state = enc_rng_state
         prod_ct, t_prodmat = derive_products_matrix(
             backend, staged, make_chunk, cols, prod_level)
         sync(prod_ct.data)
-        print(f"[{rows}x{cols}] products-matrix rescale: {t_prodmat:.2f}s",
-              file=sys.stderr)
-        t_prod, t_merkle, t_query, idxs, leaf_np, paths = overlapped_tail(
-            gather, digests, prod_ct.data)
-        print(f"[{rows}x{cols}] device split: encode {t_encode_run:.2f}s "
-              f"prodmat {t_prodmat:.2f}s "
-              f"products(+transfer overlap) {t_prod:.2f}s", file=sys.stderr)
-        t_device = t_encode_run + t_prodmat + t_prod
-    else:
-        # products-level matrix from the encode-level cts (counted)
-        te = time.perf_counter()
-        prod_data = fn_prodmat_c(full_ct.data[:cols])
-        sync(prod_data)
-        t_prodmat = time.perf_counter() - te
-        enc1, digests = fn_enc_c(full_ct.data)
-        enc_scales = None
-        gather = lambda ps: fn_gather_c(
-                enc1, jnp.asarray(np.asarray(ps, np.int32)))
-        # no block on enc1: the tail's gather/products enqueue behind the
-        # encode on the device stream while the host samples the queries
-        t_prod, t_merkle, t_query, idxs, leaf_np, paths = overlapped_tail(
-            gather, digests, prod_data)
-        t_device = overlapped_tail.t_prod_done - t0
+    print(f"[{rows}x{cols}] encode: {t_encode_run:.2f}s  products-matrix "
+          f"rescale: {t_prodmat:.2f}s"
+          f"{' (in-pass)' if single_pass else ''}", file=sys.stderr)
 
+    tp = time.perf_counter()
+    mr_chunks, mz_chunks = fn_prod_c(prod_ct.data, pt_r, pt_b)
+    for _m in mr_chunks:
+        sync(_m)
+    backend.mul_count += 2 * cols   # one ct x pt per column per challenge
+    t_prod = time.perf_counter() - tp
+    print(f"[{rows}x{cols}] products(+xfer in flight): {t_prod:.2f}s",
+          file=sys.stderr)
+
+    tm = time.perf_counter()
+    tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
+    t_merkle = time.perf_counter() - tm
+
+    # query phase: residual wait on the in-flight per-block transfers +
+    # path openings
+    tq = time.perf_counter()
+    leaf_np = np.empty((len(idxs), 2, 2, n), dtype=u64)
+    for bi in range(n_blocks):
+        if xfer_parts[bi] is None:
+            continue
+        out = np.asarray(xfer_parts[bi])
+        for k, (oi, _, _) in enumerate(block_parts[bi]):
+            leaf_np[oi] = out[k]
+    paths = [tree.get_path(i) for i in idxs]
+    t_query = time.perf_counter() - tq
+    print(f"[{rows}x{cols}] merkle: {t_merkle:.2f}s  query(residual xfer "
+          f"{leaf_np.nbytes/1e6:.0f} MB + paths): {t_query:.2f}s",
+          file=sys.stderr)
+
+    t_device = t_encode_run + t_prodmat + t_prod
+    total = t_device + t_merkle + t_query
+
+    # ---- correctness + client decrypt phase (untimed window) -----------
     spot_ok = None
+    full_verify = None
+    client = {}
     if check:
-        # spot-check: a few decrypted codeword positions vs plaintext oracle
-        from lumenos_tpu.core.ligero_plain import _encode_fn
-        from lumenos_tpu.fhe.backend import CtBatch
-        scales = (enc_scales if enc_scales is not None
-                  else ligero_ntt_scales(t, field.n, cols * rho))
-        check_pos = [0, 1, cols, cols * rho - 1]
-        # pad to the query count: gather is one AOT program of that shape
-        padded = check_pos + [0] * (committer.meta.queries - len(check_pos))
-        sub = CtBatch(data=gather(padded)[:len(check_pos)], level=1)
-        dec = np.asarray(backend.decrypt_values(sub, sk, rows))
+        from lumenos_tpu.core.ligero_plain import (
+            _encode_fn, evaluate_matrix_poly, verify, Proof, QueriedColumn)
+        from lumenos_tpu.fhe.ligero import ct_leaf_bytes, fhe_leaf_hasher
+        from lumenos_tpu.fhe.hntt import ligero_ntt_scales
+        scales = enc_scales
+        # full queried set on device (AOT gather), decrypt timed WARM
+        q_dev = staged.gather_positions(cells_blocks, idxs)
+        sync(q_dev)
+        qct = CtBatch(data=q_dev, level=1)
+        vals_dev = backend.decrypt_values(qct, sk, rows)
+        sync(vals_dev)                          # warmup (compile)
+        tc = time.perf_counter()
+        vals_dev = backend.decrypt_values(qct, sk, rows)
+        sync(vals_dev)
+        client["decrypt_cols_s"] = round(time.perf_counter() - tc, 3)
+        c0_parts = []
+        for mlist in (mr_chunks, mz_chunks):    # warmup
+            for m in mlist:
+                sync(backend.decrypt_c0_fast(CtBatch(data=m, level=1), sk))
+        tc = time.perf_counter()
+        for mlist in (mr_chunks, mz_chunks):
+            parts = [backend.decrypt_c0_fast(CtBatch(data=m, level=1), sk)
+                     for m in mlist]
+            for p in parts:
+                sync(p)
+            c0_parts.append(parts)
+        client["decrypt_mats_s"] = round(time.perf_counter() - tc, 3)
+        client["decrypt_total_s"] = round(
+            client["decrypt_cols_s"] + client["decrypt_mats_s"], 3)
+        ref_c = REFERENCE_CLIENT.get((rows, cols))
+        if ref_c:
+            client["reference_total_s"] = ref_c["total"]
+            client["vs_baseline"] = round(
+                ref_c["total"] / max(client["decrypt_total_s"], 1e-9), 1)
+        vals = np.asarray(vals_dev)
+        c0_r = np.concatenate([np.asarray(p) for p in c0_parts[0]])
+        c0_z = np.concatenate([np.asarray(p) for p in c0_parts[1]])
+        mat_r = np.array([int(x) * n % t for x in c0_r], dtype=u64)
+        mat_z = np.array([int(x) * n % t for x in c0_z], dtype=u64)
+
+        # spot-check vs the plaintext oracle (decrypt equality)
+        spot_ok = True
+        check_pos = [0, 1, cols, ext_cols - 1]
+        pos_of = {p: i for i, p in enumerate(idxs)}
+        from lumenos_tpu.ops.modmath import ModCtx, mulmod
         pt_enc = np.asarray(_encode_fn(field, rho)(
             jnp.asarray(matrix[:4, :], jnp.uint64)))  # first 4 rows encoded
-        spot_ok = True
+        sub_pad = [p for p in check_pos if p not in pos_of]
+        if sub_pad:
+            padded = sub_pad + [0] * (n_queries - len(sub_pad))
+            sub = CtBatch(data=staged.gather_positions(cells_blocks, padded)
+                          [:len(sub_pad)], level=1)
+            dec_pad = np.asarray(backend.decrypt_values(sub, sk, rows))
         for ci, p in enumerate(check_pos):
             sig_inv = pow(int(scales[p]), t - 2, t)
-            got = [int(dec[ci, rr]) * sig_inv % t for rr in range(4)]
+            row_vals = (vals[pos_of[p]] if p in pos_of
+                        else dec_pad[sub_pad.index(p)])
+            got = [int(row_vals[rr]) * sig_inv % t for rr in range(4)]
             exp = [int(pt_enc[rr, p]) for rr in range(4)]
             if got != exp:
                 spot_ok = False
-        # inner-product spot-check: MatR c0-decode vs host oracle
         r_obj = r.astype(object)
         for j in (0, cols - 1):
-            c0 = int(np.asarray(backend.decrypt_c0(
-                CtBatch(data=overlapped_tail.mr1[j // pchunk][
-                    jnp.asarray([j % pchunk])],
-                        level=1), sk))[0])  # products rescale to level 1
             exp_ip = int((matrix[:, j].astype(object) * r_obj).sum() % t)
-            if c0 * params.n % t != exp_ip:
+            if int(mat_r[j]) != exp_ip:
                 spot_ok = False
         print(f"[{rows}x{cols}] spot-check decrypt vs plaintext oracle: "
               f"{'OK' if spot_ok else 'MISMATCH'}", file=sys.stderr)
-        if not spot_ok:
-            raise SystemExit("bench correctness spot-check failed")
 
-    total = t_device + t_merkle + t_query
+        # FULL public verification of the decrypted proof
+        tv = time.perf_counter()
+        sig_inv_arr = np.array(
+            [pow(int(scales[p]), t - 2, t) for p in idxs], dtype=u64)
+        unscale = jax.jit(lambda v, s: mulmod(v, s[:, None], ModCtx.new(t)))
+        vals_un = np.asarray(unscale(jnp.asarray(vals),
+                                     jnp.asarray(sig_inv_arr)))
+        queried = [QueriedColumn(values=vals_un[i],
+                                 leaf_bytes=ct_leaf_bytes(leaf_np, i))
+                   for i in range(len(idxs))]
+        proof = Proof(meta=committer.meta, root=tree.root, mat_r=mat_r,
+                      mat_z=mat_z, queried_cols=queried, merkle_paths=paths)
+        value = evaluate_matrix_poly(matrix, point, field)
+        try:
+            verify(proof, point, value, field, Transcript("bench"),
+                   fhe_leaf_hasher)
+            full_verify = True
+        except ValueError as e:
+            full_verify = False
+            print(f"[{rows}x{cols}] FULL VERIFY FAILED: {e}",
+                  file=sys.stderr)
+        print(f"[{rows}x{cols}] full proof verify: "
+              f"{'OK' if full_verify else 'FAIL'} "
+              f"({time.perf_counter()-tv:.1f}s, untimed)", file=sys.stderr)
+        if not spot_ok or not full_verify:
+            raise SystemExit("bench correctness check failed")
+
     print(f"[{rows}x{cols}] device(encode+inner): {t_device:.2f}s "
           f"merkle: {t_merkle:.2f}s query: {t_query:.2f}s "
           f"total: {total:.2f}s", file=sys.stderr)
@@ -406,25 +459,25 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     # one Shoup mulmod + one modular add per (position, poly, limb,
     # coeff) lane of one schedule layer of the homomorphic encode.
     import math
-    if staged is not None:
-        n_bf = (ext_cols * n * 2
-                * (math.log2(staged.n1) * (staged.level + 1)
-                   + math.log2(staged.n2) * (staged.mid + 1)))
-    else:
-        n_bf = ext_cols * n * 2 * math.log2(ext_cols) * (start_level + 1)
-    enc_s = t_encode_run if staged is not None else t_device
+    n_bf = (ext_cols * n * 2
+            * (math.log2(staged.n1) * (staged.level + 1)
+               + math.log2(staged.n2) * (staged.mid + 1)))
     return {
         "logn": log_n,
         "total_s": round(total, 3),
         "device_s": round(t_device, 3),
+        "encode_s": round(t_encode_run, 3),
         "prodmat_s": round(t_prodmat, 3),
+        "products_s": round(t_prod, 3),
         "merkle_s": round(t_merkle, 3),
         "query_s": round(t_query, 3),
         "compile_s": round(t_compile, 1),
         "vs_baseline": round(vs, 2),
         "spot_check": spot_ok,
+        "full_proof_verify": full_verify,
+        "client": client,
         "reference_s": ref,
-        "butterfly_mulmods_per_s": round(n_bf / max(enc_s, 1e-9), 0),
+        "butterfly_mulmods_per_s": round(n_bf / max(t_encode_run, 1e-9), 0),
         "mul_count": backend.mul_count,
     }
 
@@ -463,6 +516,12 @@ def _tunnel_guard() -> None:
 def main() -> None:
     signal.signal(signal.SIGTERM, _sig_handler)
     signal.signal(signal.SIGINT, _sig_handler)
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # the axon plugin initializes (and claims the single-tenant TPU
+        # tunnel!) even under JAX_PLATFORMS=cpu — the config update before
+        # any backend discovery is what actually keeps it off
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     _tunnel_guard()
     budget = float(os.environ.get("LUMENOS_BENCH_BUDGET", 2200))
     check = not os.environ.get("LUMENOS_BENCH_NOCHECK")

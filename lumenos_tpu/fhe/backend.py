@@ -298,6 +298,52 @@ class BgvBackend:
         Returns [...] values: m_poly[0] mod t."""
         return self.decrypt_poly_t(ct, sk)[..., 0]
 
+    @_instance_cache
+    def _decrypt_c0_fast_jit(self, level: int):
+        import jax
+        q, _, _ = self.params.limb_consts(level)
+        pow32 = np.array([(1 << 32) % int(qi) for qi in q], dtype=np.uint64)
+
+        def impl(data, mp, mm):
+            # data [k, 2, L+1, N]; mp/mm [N] u64 {0,1} masks of the
+            # ternary key's +/-1 positions (negacyclic-rotated)
+            qj, uj, sj = self._consts(level)          # [L+1]
+            c0 = data[..., 0, :, 0]                   # [k, L+1]
+            c1 = data[..., 1, :, :]                   # [k, L+1, N]
+
+            def tsum(x):   # sum over N mod q_j, 32-bit split (no overflow)
+                lo = jnp.sum(x & _u64(0xFFFFFFFF), axis=-1)
+                hi = jnp.sum(x >> _u64(32), axis=-1)
+                return (barrett_mul(hi % qj, jnp.asarray(pow32), qj, uj, sj)
+                        + lo) % qj
+
+            sp = tsum(c1 * mp)
+            sm = tsum(c1 * mm)
+            phase0 = (c0 + sp + (qj - sm)) % qj       # [k, L+1]
+            return self.phase_to_mt(phase0[..., None], level)[..., 0]
+
+        return jax.jit(impl)
+
+    def c0_masks(self, sk: SecretKey):
+        """{0,1} masks of the +1/-1 entries of w, w[i] = s[-i] with the
+        negacyclic sign: (c1*s)[0] = sum_i c1[i] * w[i]."""
+        s = sk.s_signed.astype(np.int64)
+        w = np.empty_like(s)
+        w[0] = s[0]
+        w[1:] = -s[:0:-1]          # w[i] = -s[N-i]
+        return (jnp.asarray((w == 1).astype(np.uint64)),
+                jnp.asarray((w == -1).astype(np.uint64)))
+
+    def decrypt_c0_fast(self, ct: CtBatch, sk: SecretKey):
+        """O(N)-per-ct c0 decode (vs the O(N log N) full-INTT decrypt):
+        the constant plaintext coefficient is a ternary dot product
+        against the key, so the client's inner-product decrypt phase
+        (reference README.md:86 — 47.53 s at 16384x4096 on its 2-vCPU
+        client) collapses to a masked sum + one scale-and-round. Equal to
+        decrypt_c0 bit-for-bit (tests/test_backend_c0fast.py)."""
+        mp, mm = self.c0_masks(sk)
+        return self._decrypt_c0_fast_jit(ct.level)(ct.data, mp, mm)
+
     # -- evaluator ops -----------------------------------------------------
 
     def add(self, a: CtBatch, b: CtBatch) -> CtBatch:

@@ -275,6 +275,45 @@ def derive_products_matrix(backend: BgvBackend, staged, make_chunk,
     return ct, t_dev
 
 
+class ProductsSink:
+    """Single-pass products-level matrix derivation: plugs into
+    StagedEncode.run_streaming_cells(prod_sink=...) so the rescale of the
+    received encode-level cts happens on the FIRST read of the chunk
+    stream — no second pass, no re-upload. Same programs and bit-identical
+    output as derive_products_matrix (which remains for memory-tight
+    configs where the [cols, 2, Lp+1, N] buffer cannot sit next to the
+    whole mid buffer, e.g. 16384x4096/LogN14)."""
+
+    def __init__(self, backend: BgvBackend, staged, cols: int,
+                 prod_level: int = 2):
+        assert cols % staged.n2 == 0
+        self.backend = backend
+        self.n1h = cols // staged.n2
+        self.cols = cols
+        self.prod_level = prod_level
+        self.ca = staged.chunk_a
+        self.n2 = staged.n2
+        self._extract, self._upd = _products_extract_fns(
+            backend, self.n1h, staged.chunk_a, staged.level, prod_level)
+        self.buf = jnp.zeros(
+            (self.n1h, staged.n2, 2, prod_level + 1, backend.n), jnp.uint64)
+        self.t_dev = 0.0
+
+    def __call__(self, jc: int, chunk) -> None:
+        import time as _time
+        t0 = _time.perf_counter()
+        self.buf = self._upd(self.buf, self._extract(chunk[:self.n1h]),
+                             jc * self.ca)
+        sync(self.buf)
+        self.t_dev += _time.perf_counter() - t0
+
+    def finish(self) -> CtBatch:
+        return CtBatch(
+            data=self.buf.reshape(self.cols, 2, self.prod_level + 1,
+                                  self.backend.n),
+            level=self.prod_level)
+
+
 def commit_streaming_cts(
     committer: LigeroCommitter,
     backend: BgvBackend,
@@ -462,8 +501,10 @@ def decrypt_proof(
 
     with start_span("Decrypt row inner products", ctx):
         mat_backend, mat_sk = (backend, sk) if small is None else small
-        c0_r = np.asarray(mat_backend.decrypt_c0(eproof.mat_r, mat_sk))
-        c0_z = np.asarray(mat_backend.decrypt_c0(eproof.mat_z, mat_sk))
+        # O(N) ternary-dot c0 decode: the client's 47.5 s worst case in
+        # the reference (README.md:86) is a masked sum here
+        c0_r = np.asarray(mat_backend.decrypt_c0_fast(eproof.mat_r, mat_sk))
+        c0_z = np.asarray(mat_backend.decrypt_c0_fast(eproof.mat_z, mat_sk))
         mat_r = np.array([int(x) * n % t for x in c0_r], dtype=np.uint64)
         mat_z = np.array([int(x) * n % t for x in c0_z], dtype=np.uint64)
         # value = N * c0; decode folds N back in (sum-slots identity). The

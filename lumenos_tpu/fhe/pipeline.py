@@ -175,8 +175,11 @@ def products_apply(backend: BgvBackend, matrix_data, pt_r_ntt, pt_b_ntt,
     fn = build_products_pipeline(backend, level=level)
     if n_chunks == 1:
         return fn(matrix_data, pt_r_ntt, pt_b_ntt)
-    ck = cols // n_chunks
-    outs = [fn(matrix_data[c * ck:(c + 1) * ck], pt_r_ntt, pt_b_ntt)
-            for c in range(n_chunks)]
+    # ceil-div chunking: every column is covered exactly once for ANY
+    # cols (non-power-of-two widths reach here from prove()); the ragged
+    # tail chunk compiles one extra program shape, nothing is dropped
+    ck = -(-cols // n_chunks)
+    outs = [fn(matrix_data[c0:min(cols, c0 + ck)], pt_r_ntt, pt_b_ntt)
+            for c0 in range(0, cols, ck)]
     return (jnp.concatenate([o[0] for o in outs]),
             jnp.concatenate([o[1] for o in outs]))

@@ -49,6 +49,26 @@ from .hsched import apply_schedule_auto, apply_schedule_full_auto, \
 _CACHE: dict = {}
 
 
+def _hbm_budget() -> float:
+    """Usable HBM bytes for the staged-encode chunk heuristics: the
+    device's reported bytes_limit when the runtime exposes it, else the
+    LUMENOS_HBM_BUDGET env override, else 15 GB (v5e). ADVICE r3: the
+    previous hardcoded 15e9 mis-sized chunks on chips with different
+    memory."""
+    import os
+    env = os.environ.get("LUMENOS_HBM_BUDGET")
+    if env:
+        return float(env)
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        limit = stats.get("bytes_limit") if stats else None
+        if limit:
+            return float(limit)
+    except Exception:
+        pass
+    return 15.0e9
+
+
 def _stage_a_fn(backend, field, n1: int, cw: int, level: int, mid_level: int):
     key = ("A", id(backend), field.modulus, field.n, n1, cw, level, mid_level)
     if key not in _CACHE:
@@ -278,7 +298,8 @@ class StagedEncode:
         mid_total = self.size * 2 * (self.mid + 1) * self.backend.n * 8
         row = self.n2 * 2 * (self.mid + 1) * self.backend.n * 8
         cells_blk = self.n2 * bw * 2 * 2 * self.backend.n * 8
-        avail = 15.0e9 - mid_total - cells_blk
+        extra = getattr(self, "extra_resident_bytes", 0)
+        avail = _hbm_budget() - mid_total - cells_blk - extra
         if avail >= 5.5 * row * bw:
             return bw
         cw = max(1, min(bw, int(avail / (5.5 * row))))
@@ -302,6 +323,10 @@ class StagedEncode:
     def _run_bd_block(self, blk, b: int, bw: int, cw: int):
         """Stage B + digests for mid block b, in cw-row sub-chunks.
         Returns (cells_b [bw, n2, 2, 2, N], digests np [bw*n2, 8])."""
+        assert bw % cw == 0, (
+            f"stage-B sub-chunk {cw} must divide block rows {bw}: a "
+            f"non-divisor clamps the last dynamic slice while the "
+            f"cofactors advance unclamped, mismatching rows (ADVICE r3)")
         if cw >= bw:
             cells_b, dig_b = self._stage_bd_fn(bw)(
                 blk, *self._row_chunk_res(b * bw, bw))
@@ -377,6 +402,17 @@ class StagedEncode:
             _CACHE[key] = jax.jit(impl)
         return _CACHE[key]
 
+    def block_gather_fn(self, bw: int, k: int):
+        """Jitted (cells_b [bw, n2, 2, 2, N], rows [k] i32, js [k] i32)
+        -> [k, 2, 2, N]: the queried columns living in ONE stage-B block.
+        Lets the caller start their device->host transfer as soon as the
+        block lands (query indices depend only on transcript state, which
+        never absorbs the root — reference fhe/ligero.go:199)."""
+        key = ("BG", id(self.backend), self.size, bw, k)
+        if key not in _CACHE:
+            _CACHE[key] = jax.jit(lambda cb, ri, ji: cb[ri, ji])
+        return _CACHE[key]
+
     def gather_positions(self, cells_blocks: list, positions) -> "jnp.ndarray":
         """Reference-order positions -> [k, 2, 2, N] level-1 cts."""
         fn = self._gather_cells_fn(len(cells_blocks))
@@ -420,10 +456,23 @@ class StagedEncode:
                 *([out_blk] * n_blocks)).compile()
 
     def run_streaming_cells(self, make_chunk, n_chunks: int,
-                            n_blocks: int = 4, bd_cw: int | None = None):
+                            n_blocks: int = 4, bd_cw: int | None = None,
+                            on_block=None, prod_sink=None):
         """Returns (cells_blocks, digests_ref [size,8] u32 on host,
         final_scales, device_seconds). Bit-identical content to
-        run_streaming (tests/test_staged.py cross-checks)."""
+        run_streaming (tests/test_staged.py cross-checks).
+
+        on_block(b, cells_b): called as each stage-B block's cells land —
+        lets the caller start the queried-column device->host transfer
+        while the remaining blocks (and everything after) still compute.
+        Its dispatch cost counts toward device_seconds.
+
+        prod_sink(jc, chunk): called on each RAW stage-A input chunk
+        before the transform consumes (donates) it — single-pass
+        products-level matrix derivation (rescale of the received
+        encode-level cts, fhe/ligero.py ProductsSink) without a second
+        pass over the chunk stream. The sink times its own device work;
+        it is NOT included in device_seconds here."""
         import time as _time
         backend = self.backend
         assert self.n1 % n_blocks == 0
@@ -439,6 +488,9 @@ class StagedEncode:
         for k in range(n_chunks):
             chunk = make_chunk(k)
             sync(chunk)
+            if prod_sink is not None:
+                # dispatched before fa donates the chunk buffer
+                prod_sink(k, chunk)
             t0 = _time.perf_counter()
             out = fa(chunk)
             blocks = list(scat(out, k * self.chunk_a, *blocks))
@@ -449,11 +501,17 @@ class StagedEncode:
         cells_blocks = []
         dig_parts = []
         cw = self._bd_cw(bw) if bd_cw is None else bd_cw
+        if cw < bw and bw % cw != 0:
+            raise ValueError(
+                f"bd_cw={cw} must divide the block row count {bw} "
+                f"(n1={self.n1} / n_blocks={n_blocks})")
         for b in range(n_blocks):
             cells_b, dig_b = self._run_bd_block(blocks[b], b, bw, cw)
             dig_parts.append(dig_b)                  # [bw*n2, 8] tiny
             cells_blocks.append(cells_b)
             blocks[b] = None                         # free this mid block
+            if on_block is not None:
+                on_block(b, cells_b)
         dig_cells = np.concatenate(dig_parts, axis=0)
         digests_ref = dig_cells[self.ref_to_cell_perm()]
         t_dev += _time.perf_counter() - t0

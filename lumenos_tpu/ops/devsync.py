@@ -37,7 +37,10 @@ def _fence_fn(shape, dtype):
 
 def sync(x):
     """Fence: returns `x` after all device work producing it has run."""
-    if not isinstance(x, jax.Array):
+    if not isinstance(x, jax.Array) or isinstance(x, jax.core.Tracer):
+        # tracers are jax.Array instances too: a sync() reached from
+        # inside a jitted function must no-op, not crash on
+        # block_until_ready
         return x
     x.block_until_ready()
     np.asarray(_fence_fn(x.shape, x.dtype)(x))

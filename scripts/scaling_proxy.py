@@ -13,11 +13,20 @@ a pod-slice run exercises. This proxy runs the production StagedEncode
   * the SAME global problem and the SAME per-iteration result digest,
 
 and reports wall time per iteration + scaling efficiency t(1)/t(N)
-(BASELINE.md:65 target: >= 80% at N >= 2 hosts). Results land in
+(BASELINE.md:65 target: >= 80% at N >= 2 hosts), plus a PER-LEG breakdown
+(stage-A compute | all-to-all reshard | stage-B+digests compute) so the
+communication fraction is measured, not guessed. Results land in
 SCALING_PROXY.json.
 
+Round-3 verdict item 2: the old defaults (size=64, log_n=6, iters=2) were
+gloo-latency-dominated noise. Defaults are now compute-dominated
+(size=512, log_n=10, 8 limbs, 5 iters); the report extrapolates the
+measured all-to-all bytes to ICI bandwidth (45 GB/s/link v5e) to bound the
+comm fraction on real pod hardware, where gloo-over-loopback's per-message
+software cost does not exist.
+
 Usage:  python scripts/scaling_proxy.py          # parent: full ladder
-        LUMENOS_PROXY_SIZE=64 LUMENOS_PROXY_LOGN=8 ...  # shape overrides
+        LUMENOS_PROXY_SIZE=512 LUMENOS_PROXY_LOGN=10 ...  # overrides
 
 Correctness (bit-identity of the sharded staged path vs single device) is
 covered by tests/test_staged_sharded.py and tests/test_dist_proxy.py; this
@@ -35,11 +44,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOTAL_DEVICES = 8
 PORT = int(os.environ.get("LUMENOS_PROXY_PORT", "29531"))
-SIZE = int(os.environ.get("LUMENOS_PROXY_SIZE", "64"))
-LOG_N = int(os.environ.get("LUMENOS_PROXY_LOGN", "8"))
+SIZE = int(os.environ.get("LUMENOS_PROXY_SIZE", "512"))
+LOG_N = int(os.environ.get("LUMENOS_PROXY_LOGN", "10"))
 ITERS = int(os.environ.get("LUMENOS_PROXY_ITERS", "5"))
 LADDER = [int(x) for x in
           os.environ.get("LUMENOS_PROXY_LADDER", "1,2,4").split(",")]
+ICI_GBPS = 45.0       # v5e per-link ICI, one direction (public spec)
 
 
 def _worker() -> None:
@@ -66,7 +76,8 @@ def _worker() -> None:
     from lumenos_tpu.core.field import GOLDILOCKS_57, PrimeField
     from lumenos_tpu.fhe.backend import BgvBackend
     from lumenos_tpu.fhe.params import BgvParams
-    from lumenos_tpu.fhe.staged import StagedEncode
+    from lumenos_tpu.fhe.staged import (
+        StagedEncode, _stage_a_fn, _stage_b_fn, _finalize_fn)
 
     assert len(jax.devices()) == TOTAL_DEVICES, \
         f"global mesh has {len(jax.devices())} devices, want {TOTAL_DEVICES}"
@@ -100,17 +111,60 @@ def _worker() -> None:
     barrier("timed")
     dt = (time.perf_counter() - t0) / ITERS
 
+    # ---- per-leg breakdown: A | all-to-all | B (+digests) --------------
+    # Same math as run_sharded, but as three separately-fenced device
+    # calls so the reshard (the six-step transpose exchange GSPMD lowers
+    # to an all-to-all) is timed on its own.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    shard_j = NamedSharding(mesh, P(None, "ct"))
+    shard_i = NamedSharding(mesh, P("ct"))
+    fa = _stage_a_fn(backend, field, st.n1, st.n2, st.level, st.mid)
+    fb = _stage_b_fn(backend, field, st.n2, st.n1, st.mid)
+    ff = _finalize_fn(st.size, backend.n)
+    reshard = jax.jit(lambda a: jax.lax.with_sharding_constraint(a, shard_i),
+                      in_shardings=shard_j)
+    wa, wsa = tuple(np.stack([st._row_res[i][k] for i in range(st.n1)])
+                    for k in range(2))
+    rep = NamedSharding(mesh, P())
+    w_a = jax.device_put(np.asarray(wa), rep)
+    w_sa = jax.device_put(np.asarray(wsa), rep)
+
+    def legs_once():
+        x = jax.device_put(grid.astype(np.uint64), shard_j)
+        x.block_until_ready()
+        barrier("leg0")
+        ts = [time.perf_counter()]
+        mid = fa(x)
+        mid.block_until_ready()
+        ts.append(time.perf_counter())
+        mid_i = reshard(mid)
+        mid_i.block_until_ready()
+        ts.append(time.perf_counter())
+        flat, _digs = ff(fb(mid_i, w_a, w_sa))
+        flat.block_until_ready()
+        ts.append(time.perf_counter())
+        return [ts[i + 1] - ts[i] for i in range(3)]
+
+    legs_once()                      # compile the leg programs
+    barrier("legwarm")
+    legs = np.zeros(3)
+    for _ in range(ITERS):
+        legs += np.array(legs_once())
+    legs /= ITERS
+
     # cross-run result fingerprint: a replicated-output reduction over the
     # leaf digests (a scalar jit output is addressable on every process;
     # gathering a sharded global array cross-process is not). Bit-exactness
     # of the sharded staged path is separately pinned by
     # tests/test_staged_sharded.py.
-    import jax.numpy as jnp
     fp = int(np.asarray(jax.jit(
         lambda d: jnp.sum(d.astype(jnp.uint64)))(digests)))
     if rank == 0:
-        print(json.dumps({"nprocs": nprocs, "iter_s": dt,
-                          "digest": f"{fp:016x}"}), flush=True)
+        print(json.dumps({
+            "nprocs": nprocs, "iter_s": dt, "digest": f"{fp:016x}",
+            "leg_stage_a_s": legs[0], "leg_alltoall_s": legs[1],
+            "leg_stage_b_s": legs[2]}), flush=True)
     if jax.distributed.is_initialized():
         jax.distributed.shutdown()
 
@@ -142,7 +196,7 @@ def _parent() -> None:
                 stderr=subprocess.DEVNULL if rank else subprocess.PIPE,
                 text=True))
         try:
-            out, err = procs[0].communicate(timeout=1200)
+            out, err = procs[0].communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             for p in procs:
                 p.kill()
@@ -156,18 +210,27 @@ def _parent() -> None:
                              f"rc={procs[0].returncode}")
         rec = json.loads(line[-1])
         print(f"nprocs={rec['nprocs']}: {rec['iter_s']*1e3:.1f} ms/iter "
-              f"digest={rec['digest']}")
+              f"(A {rec['leg_stage_a_s']*1e3:.0f} | a2a "
+              f"{rec['leg_alltoall_s']*1e3:.0f} | B "
+              f"{rec['leg_stage_b_s']*1e3:.0f} ms) digest={rec['digest']}")
         results.append(rec)
 
     digs = {r["digest"] for r in results}
     base = results[0]["iter_s"]
     for r in results:
         r["efficiency"] = base / r["iter_s"]
+    # all-to-all bytes: the whole mid buffer moves between shardings
+    a2a_bytes = SIZE * 2 * 5 * (1 << LOG_N) * 8      # mid_level=4 -> 5 limbs
     report = {
         "shape": {"size": SIZE, "log_n": LOG_N, "levels": 8,
                   "total_devices": TOTAL_DEVICES, "iters": ITERS,
                   "cores_total": ncores},
         "digest_consistent": len(digs) == 1,
+        "alltoall_bytes": a2a_bytes,
+        "alltoall_ici_projection_s": a2a_bytes / (ICI_GBPS * 1e9),
+        "note": ("leg_alltoall_s is gloo-over-loopback software cost; the "
+                 "ICI projection row bounds the same exchange on a v5e "
+                 "pod slice (45 GB/s/link, one hop)"),
         "runs": results,
     }
     out_path = os.environ.get("LUMENOS_PROXY_OUT",

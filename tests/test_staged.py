@@ -159,3 +159,60 @@ def test_streaming_cells_subchunked_stage_b(setup):
     assert np.array_equal(sub[1], full[1])              # digests
     for a, b in zip(full[0], sub[0]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_products_sink_and_block_gather(setup):
+    """Round-4 bench path: single-pass ProductsSink output must be
+    bit-identical to the two-pass derive_products_matrix, and the
+    per-block early gathers (block_gather_fn via on_block) must
+    reassemble exactly what the one-shot gather_positions returns."""
+    from lumenos_tpu.fhe.ligero import ProductsSink, derive_products_matrix
+
+    backend, sk, field, ct = setup
+    st = StagedEncode(backend, field, SIZE, start_level=5, mid_level=3,
+                      chunk_a=2, chunk_b=2)
+    grid = ct.data.reshape((st.n1, st.n2) + ct.data.shape[1:])
+
+    def make_chunk(k):
+        return jnp.asarray(np.ascontiguousarray(np.asarray(
+            grid[:, k * st.chunk_a:(k + 1) * st.chunk_a])))
+
+    cols = SIZE // 2                       # rho_inv = 2
+    prod_level = 2
+    n_blocks = 2
+    bw = st.n1 // n_blocks
+    idxs = [0, 3, 7, SIZE - 1, 5, 3]       # incl. a duplicate
+    block_parts = [[] for _ in range(n_blocks)]
+    for oi, p in enumerate(idxs):
+        i, j = p % st.n1, p // st.n1
+        block_parts[i // bw].append((oi, i - (i // bw) * bw, j))
+    parts_out = [None] * n_blocks
+
+    def on_block(bi, cells_b):
+        bp = block_parts[bi]
+        if not bp:
+            return
+        ri = jnp.asarray(np.array([x[1] for x in bp], np.int32))
+        ji = jnp.asarray(np.array([x[2] for x in bp], np.int32))
+        parts_out[bi] = st.block_gather_fn(bw, len(bp))(cells_b, ri, ji)
+
+    sink = ProductsSink(backend, st, cols, prod_level)
+    cells_blocks, dig, scales, _ = st.run_streaming_cells(
+        make_chunk, st.n2 // st.chunk_a, n_blocks=n_blocks,
+        on_block=on_block, prod_sink=sink)
+    single = np.asarray(sink.finish().data)
+
+    two_pass, _ = derive_products_matrix(
+        backend, st, make_chunk, cols, prod_level)
+    assert np.array_equal(single, np.asarray(two_pass.data))
+
+    # per-block gathers == one-shot gather in idxs order
+    ref = np.asarray(st.gather_positions(cells_blocks, idxs))
+    got = np.empty_like(ref)
+    for bi in range(n_blocks):
+        if parts_out[bi] is None:
+            continue
+        out = np.asarray(parts_out[bi])
+        for k, (oi, _, _) in enumerate(block_parts[bi]):
+            got[oi] = out[k]
+    assert np.array_equal(got, ref)
