@@ -121,7 +121,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     from lumenos_tpu.fhe.hntt import min_start_level
     from lumenos_tpu.fhe.staged import StagedEncode, _hbm_budget
     from lumenos_tpu.fhe.ligero import (
-        ProductsSink, derive_products_matrix, precompile_products_extract)
+        derive_products_matrix, precompile_products_extract)
     from lumenos_tpu.ops.devsync import sync
     from lumenos_tpu.ops.sha256_jax import digests_to_bytes
 
@@ -179,9 +179,24 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     bw = staged.n1 // n_blocks
     # single-pass products sink when its buffer fits next to the peak
     prod_bytes = cols * 2 * (prod_level + 1) * n * 8
-    single_pass = mid_bytes + cells_bytes + prod_bytes + 2.5e9 < hbm
+    sp_env = os.environ.get("LUMENOS_BENCH_SINGLEPASS")
+    single_pass = mid_bytes + cells_bytes + prod_bytes + 2.5e9 < hbm \
+        if sp_env is None else sp_env == "1"
     if single_pass:
         staged.extra_resident_bytes = prod_bytes
+    # early per-block queried-column transfer: a win when the opened
+    # columns are small (fully hidden under stage B at N=4096), a LOSS on
+    # this tunnel when they are large — the relay serializes DMA with
+    # compute dispatches, so 81-162 MB in flight inflates every stage-B
+    # and prodmat round-trip (measured: 8192 encode 11.8 s vs 3.6 s
+    # clean). Large configs transfer in the tail window instead.
+    xfer_bytes = n_queries * 2 * 2 * n * 8
+    ex_env = os.environ.get("LUMENOS_BENCH_EARLYXFER")
+    # measured at 8192 (81 MB): stage B absorbs ~+1.5 s of contention but
+    # the tail exposure (~2.6 s) disappears — net win up to ~96 MB; at
+    # 162 MB (16384) the contention dominates, keep the tail window
+    early_xfer = xfer_bytes <= 96e6 if ex_env is None else ex_env == "1"
+    n1h = cols // staged.n2
 
     # per-block query partition: block b owns queried positions whose
     # cell row i = p % n1 lies in [b*bw, (b+1)*bw)
@@ -201,8 +216,11 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             sds(nn, n), sds(nn, n), sds(nn, n),
             sds(nn, lvl + 1, n, dt=u64),
             sds(lvl + 1, n, dt=u64), sds(lvl + 1, n, dt=u64)).compile()
-    staged.precompile_cells(n_blocks, n_queries)
-    precompile_products_extract(backend, staged, cols, prod_level)
+    staged.precompile_cells(
+        n_blocks, n_queries,
+        prod_cfg=(n1h, prod_level) if single_pass else None)
+    if not single_pass:
+        precompile_products_extract(backend, staged, cols, prod_level)
     # per-block queried-column gathers (exact static counts)
     for bp in block_parts:
         if bp:
@@ -295,26 +313,50 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             xfer_async[0] = False       # sync np.asarray at collect time
         xfer_parts[bi] = part
 
-    sink = ProductsSink(backend, staged, cols, prod_level) \
-        if single_pass else None
     t0 = time.perf_counter()
-    cells_blocks, digests, enc_scales, t_encode_run = \
-        staged.run_streaming_cells(
-            make_chunk, staged.n2 // staged.chunk_a, n_blocks=n_blocks,
-            on_block=on_block, prod_sink=sink)
     if single_pass:
-        prod_ct = sink.finish()
-        t_prodmat = sink.t_dev
+        # fused: the stage-A program also emits the products-level
+        # rescale — t_prodmat is inside the encode time by construction
+        cells_blocks, digests, enc_scales, t_encode_run, prod_data = \
+            staged.run_streaming_cells(
+                make_chunk, staged.n2 // staged.chunk_a,
+                n_blocks=n_blocks,
+                on_block=on_block if early_xfer else None,
+                prod_cfg=(n1h, prod_level))
+        prod_ct = CtBatch(data=prod_data, level=prod_level)
+        t_prodmat = 0.0
     else:
-        # two-pass: the rescale pass runs while the queried-column d2h
-        # is in flight (round-3 verdict item 1)
+        cells_blocks, digests, enc_scales, t_encode_run = \
+            staged.run_streaming_cells(
+                make_chunk, staged.n2 // staged.chunk_a,
+                n_blocks=n_blocks,
+                on_block=on_block if early_xfer else None)
+        # two-pass rescale of the re-read ciphertext stream, BEFORE the
+        # tail transfer opens (its untimed chunk re-uploads must not
+        # contend with the timed opened-column d2h)
         rng.bit_generator.state = enc_rng_state
         prod_ct, t_prodmat = derive_products_matrix(
             backend, staged, make_chunk, cols, prod_level)
         sync(prod_ct.data)
     print(f"[{rows}x{cols}] encode: {t_encode_run:.2f}s  products-matrix "
-          f"rescale: {t_prodmat:.2f}s"
-          f"{' (in-pass)' if single_pass else ''}", file=sys.stderr)
+          f"rescale: "
+          f"{'(fused into encode)' if single_pass else f'{t_prodmat:.2f}s'}",
+          file=sys.stderr)
+
+    # large configs: open the transfer window at the tail — gather the
+    # full queried set, start ONE async d2h, then run products + the
+    # Merkle fold under it (round-3 verdict item 1)
+    t_gather = 0.0
+    leaf_dev = None
+    if not early_xfer:
+        tg = time.perf_counter()
+        leaf_dev = staged.gather_positions(cells_blocks, idxs)
+        sync(leaf_dev)
+        try:
+            leaf_dev.copy_to_host_async()
+        except Exception:
+            pass
+        t_gather = time.perf_counter() - tg
 
     tp = time.perf_counter()
     mr_chunks, mz_chunks = fn_prod_c(prod_ct.data, pt_r, pt_b)
@@ -329,21 +371,24 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
     t_merkle = time.perf_counter() - tm
 
-    # query phase: residual wait on the in-flight per-block transfers +
-    # path openings
+    # query phase: gather dispatch + residual wait on the in-flight
+    # transfer(s) + path openings
     tq = time.perf_counter()
-    leaf_np = np.empty((len(idxs), 2, 2, n), dtype=u64)
-    for bi in range(n_blocks):
-        if xfer_parts[bi] is None:
-            continue
-        out = np.asarray(xfer_parts[bi])
-        for k, (oi, _, _) in enumerate(block_parts[bi]):
-            leaf_np[oi] = out[k]
+    if early_xfer:
+        leaf_np = np.empty((len(idxs), 2, 2, n), dtype=u64)
+        for bi in range(n_blocks):
+            if xfer_parts[bi] is None:
+                continue
+            out = np.asarray(xfer_parts[bi])
+            for k, (oi, _, _) in enumerate(block_parts[bi]):
+                leaf_np[oi] = out[k]
+    else:
+        leaf_np = np.asarray(leaf_dev)
     paths = [tree.get_path(i) for i in idxs]
-    t_query = time.perf_counter() - tq
-    print(f"[{rows}x{cols}] merkle: {t_merkle:.2f}s  query(residual xfer "
-          f"{leaf_np.nbytes/1e6:.0f} MB + paths): {t_query:.2f}s",
-          file=sys.stderr)
+    t_query = time.perf_counter() - tq + t_gather
+    print(f"[{rows}x{cols}] merkle: {t_merkle:.2f}s  query(gather "
+          f"{t_gather:.2f}s + residual xfer {leaf_np.nbytes/1e6:.0f} MB "
+          f"+ paths): {t_query:.2f}s", file=sys.stderr)
 
     t_device = t_encode_run + t_prodmat + t_prod
     total = t_device + t_merkle + t_query
@@ -468,6 +513,8 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         "device_s": round(t_device, 3),
         "encode_s": round(t_encode_run, 3),
         "prodmat_s": round(t_prodmat, 3),
+        "prodmat_fused": single_pass,
+        "early_xfer": early_xfer,
         "products_s": round(t_prod, 3),
         "merkle_s": round(t_merkle, 3),
         "query_s": round(t_query, 3),

@@ -88,6 +88,36 @@ def _stage_a_fn(backend, field, n1: int, cw: int, level: int, mid_level: int):
     return _CACHE[key]
 
 
+def _stage_a_prod_fn(backend, field, n1: int, cw: int, level: int,
+                     mid_level: int, n1h: int, prod_level: int):
+    """Stage A fused with the products-level derivation: ONE program per
+    chunk returns (mid-level transform output, prod-level rescale of the
+    matrix rows i < n1h). Replaces the separate ProductsSink dispatches
+    (eager slice + extract + sync per chunk) on the single-pass path."""
+    key = ("AP", id(backend), field.modulus, field.n, n1, cw, level,
+           mid_level, n1h, prod_level)
+    if key not in _CACHE:
+        sched = unit_schedule(field, n1, cw * n1)
+        q, _, _ = backend.params.limb_consts(level)
+        res = sched.residues([int(x) for x in q])
+
+        def impl(chunk):  # [n1, cw, 2, L, N]
+            pr = backend.rescale_to(
+                CtBatch(data=chunk[:n1h].reshape((n1h * cw,)
+                                                 + chunk.shape[2:]),
+                        level=level), prod_level)
+            pp = pr.data.reshape((n1h, cw) + pr.data.shape[1:])
+            c = jnp.swapaxes(chunk, 0, 1)               # [cw, n1, ...]
+            flat = c.reshape((cw * n1,) + c.shape[2:])
+            out = apply_schedule_full_auto(flat, sched, res, q)
+            out = backend.rescale_to(
+                CtBatch(data=out, level=level), mid_level)
+            o = out.data.reshape((cw, n1) + out.data.shape[1:])
+            return jnp.swapaxes(o, 0, 1), pp
+        _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
+    return _CACHE[key]
+
+
 def _stage_b_fn(backend, field, n2: int, cw: int, mid_level: int):
     """ONE compiled program for every row chunk: per-row cofactor residues
     are inputs (w/ws [cw, nl, n2, L]), the pairing is a shared constant.
@@ -419,8 +449,8 @@ class StagedEncode:
         pos = jnp.asarray(np.asarray(positions, dtype=np.int32))
         return fn(pos, *cells_blocks)
 
-    def precompile_cells(self, n_blocks: int, n_queries: int | None = None
-                         ) -> None:
+    def precompile_cells(self, n_blocks: int, n_queries: int | None = None,
+                         prod_cfg: tuple | None = None) -> None:
         """AOT-compile the cells-mode programs before big buffers exist."""
         import jax as _jax
         n = self.backend.n
@@ -428,9 +458,25 @@ class StagedEncode:
         Lm = self.mid + 1
         u64 = jnp.uint64
         bw = self.n1 // n_blocks
-        _stage_a_fn(self.backend, self.field, self.n1, self.chunk_a,
-                    self.level, self.mid).lower(
-            _jax.ShapeDtypeStruct((self.n1, self.chunk_a, 2, L, n), u64)).compile()
+        chunk_sd = _jax.ShapeDtypeStruct(
+            (self.n1, self.chunk_a, 2, L, n), u64)
+        if prod_cfg is not None:
+            n1h, prod_level = prod_cfg
+            _stage_a_prod_fn(self.backend, self.field, self.n1,
+                             self.chunk_a, self.level, self.mid,
+                             n1h, prod_level).lower(chunk_sd).compile()
+            upd_prod = _CACHE.setdefault(
+                ("UPDP", self.size, n1h, prod_level, n, self.chunk_a),
+                jax.jit(lambda b, c, j0: jax.lax.dynamic_update_slice(
+                    b, c, (0, j0, 0, 0, 0)), donate_argnums=(0,)))
+            upd_prod.lower(
+                _jax.ShapeDtypeStruct((n1h, self.n2, 2, prod_level + 1, n),
+                                      u64),
+                _jax.ShapeDtypeStruct((n1h, self.chunk_a, 2, prod_level + 1,
+                                       n), u64), 0).compile()
+        else:
+            _stage_a_fn(self.backend, self.field, self.n1, self.chunk_a,
+                        self.level, self.mid).lower(chunk_sd).compile()
         blk = _jax.ShapeDtypeStruct((bw, self.n2, 2, Lm, n), u64)
         out_sd = _jax.ShapeDtypeStruct((self.n1, self.chunk_a, 2, Lm, n), u64)
         for fn in self._scatter_fn(bw, n_blocks, Lm).fns:
@@ -457,10 +503,11 @@ class StagedEncode:
 
     def run_streaming_cells(self, make_chunk, n_chunks: int,
                             n_blocks: int = 4, bd_cw: int | None = None,
-                            on_block=None, prod_sink=None):
+                            on_block=None, prod_sink=None,
+                            prod_cfg: tuple | None = None):
         """Returns (cells_blocks, digests_ref [size,8] u32 on host,
-        final_scales, device_seconds). Bit-identical content to
-        run_streaming (tests/test_staged.py cross-checks).
+        final_scales, device_seconds[, prod_data]). Bit-identical content
+        to run_streaming (tests/test_staged.py cross-checks).
 
         on_block(b, cells_b): called as each stage-B block's cells land —
         lets the caller start the queried-column device->host transfer
@@ -472,18 +519,41 @@ class StagedEncode:
         products-level matrix derivation (rescale of the received
         encode-level cts, fhe/ligero.py ProductsSink) without a second
         pass over the chunk stream. The sink times its own device work;
-        it is NOT included in device_seconds here."""
+        it is NOT included in device_seconds here.
+
+        prod_cfg=(n1h, prod_level): FUSED single-pass derivation — the
+        stage-A program itself also emits the prod-level rescale of the
+        matrix rows (one program per chunk, no extra dispatches); the
+        assembled [n1h*n2, 2, prod_level+1, N] array is returned as a
+        fifth element and its time is inside device_seconds. Mutually
+        exclusive with prod_sink."""
         import time as _time
         backend = self.backend
         assert self.n1 % n_blocks == 0
+        assert not (prod_sink is not None and prod_cfg is not None)
         bw = self.n1 // n_blocks
-        fa = _stage_a_fn(backend, self.field, self.n1, self.chunk_a,
-                         self.level, self.mid)
         Lm = self.mid + 1
         n = backend.n
+        if prod_cfg is not None:
+            n1h, prod_level = prod_cfg
+            fa = _stage_a_prod_fn(backend, self.field, self.n1,
+                                  self.chunk_a, self.level, self.mid,
+                                  n1h, prod_level)
+            prod_buf = jnp.zeros(
+                (n1h, self.n2, 2, prod_level + 1, n), jnp.uint64)
+            upd_prod = _CACHE.setdefault(
+                ("UPDP", self.size, n1h, prod_level, n, self.chunk_a),
+                jax.jit(lambda b, c, j0: jax.lax.dynamic_update_slice(
+                    b, c, (0, j0, 0, 0, 0)), donate_argnums=(0,)))
+        else:
+            fa = _stage_a_fn(backend, self.field, self.n1, self.chunk_a,
+                             self.level, self.mid)
         blocks = [jnp.zeros((bw, self.n2, 2, Lm, n), dtype=jnp.uint64)
                   for _ in range(n_blocks)]
         scat = self._scatter_fn(bw, n_blocks, Lm)
+        import os
+        import sys
+        prof = os.environ.get("LUMENOS_STAGED_PROFILE")
         t_dev = 0.0
         for k in range(n_chunks):
             chunk = make_chunk(k)
@@ -492,15 +562,27 @@ class StagedEncode:
                 # dispatched before fa donates the chunk buffer
                 prod_sink(k, chunk)
             t0 = _time.perf_counter()
-            out = fa(chunk)
+            if prod_cfg is not None:
+                out, pp = fa(chunk)
+                prod_buf = upd_prod(prod_buf, pp, k * self.chunk_a)
+            else:
+                out = fa(chunk)
             blocks = list(scat(out, k * self.chunk_a, *blocks))
             sync(blocks[-1])
             t_dev += _time.perf_counter() - t0
             del chunk, out
+        if prof:
+            print(f"[staged] cells stage A: {t_dev:.2f}s "
+                  f"({n_chunks} chunks x {self.chunk_a})", file=sys.stderr)
         t0 = _time.perf_counter()
         cells_blocks = []
         dig_parts = []
         cw = self._bd_cw(bw) if bd_cw is None else bd_cw
+        if prof:
+            print(f"[staged] stage B: cw={cw} bw={bw} n_blocks={n_blocks} "
+                  f"hbm_budget={_hbm_budget():.2e} "
+                  f"extra={getattr(self, 'extra_resident_bytes', 0):.2e}",
+                  file=sys.stderr)
         if cw < bw and bw % cw != 0:
             raise ValueError(
                 f"bd_cw={cw} must divide the block row count {bw} "
@@ -514,7 +596,16 @@ class StagedEncode:
                 on_block(b, cells_b)
         dig_cells = np.concatenate(dig_parts, axis=0)
         digests_ref = dig_cells[self.ref_to_cell_perm()]
+        if prof:
+            print(f"[staged] cells stage B+digests: "
+                  f"{_time.perf_counter() - t0:.2f}s", file=sys.stderr)
         t_dev += _time.perf_counter() - t0
+        if prod_cfg is not None:
+            # grid position p = i*n2 + j == matrix column index
+            prod_data = prod_buf.reshape(
+                prod_buf.shape[0] * self.n2, *prod_buf.shape[2:])
+            return cells_blocks, digests_ref, self.final_scales, t_dev, \
+                prod_data
         return cells_blocks, digests_ref, self.final_scales, t_dev
 
     # NOTE: run() (list-based) kept for tests; run_streaming is the

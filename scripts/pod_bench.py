@@ -24,6 +24,10 @@ import time
 os.environ.setdefault("OMP_NUM_THREADS", "2")
 os.environ.setdefault("OPENBLAS_NUM_THREADS", "2")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the env var alone does NOT stop the axon TPU plugin from claiming the
+# single-tenant tunnel; the config update before backend discovery does
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
 try:
     os.sched_setaffinity(0, {0, 1})
 except (AttributeError, OSError):

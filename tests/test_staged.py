@@ -216,3 +216,34 @@ def test_products_sink_and_block_gather(setup):
         for k, (oi, _, _) in enumerate(block_parts[bi]):
             got[oi] = out[k]
     assert np.array_equal(got, ref)
+
+
+def test_fused_prod_cfg_matches_two_pass(setup):
+    """prod_cfg fused derivation (one stage-A program emits both outputs)
+    must be bit-identical to derive_products_matrix AND leave the encode
+    outputs unchanged."""
+    from lumenos_tpu.fhe.ligero import derive_products_matrix
+
+    backend, sk, field, ct = setup
+    st = StagedEncode(backend, field, SIZE, start_level=5, mid_level=3,
+                      chunk_a=2, chunk_b=2)
+    grid = ct.data.reshape((st.n1, st.n2) + ct.data.shape[1:])
+
+    def make_chunk(k):
+        return jnp.asarray(np.ascontiguousarray(np.asarray(
+            grid[:, k * st.chunk_a:(k + 1) * st.chunk_a])))
+
+    cols = SIZE // 2
+    prod_level = 2
+    cells_f, dig_f, _, _, prod_data = st.run_streaming_cells(
+        make_chunk, st.n2 // st.chunk_a, n_blocks=2,
+        prod_cfg=(cols // st.n2, prod_level))
+    two_pass, _ = derive_products_matrix(
+        backend, st, make_chunk, cols, prod_level)
+    assert np.array_equal(np.asarray(prod_data), np.asarray(two_pass.data))
+
+    cells_p, dig_p, _, _ = st.run_streaming_cells(
+        make_chunk, st.n2 // st.chunk_a, n_blocks=2)
+    assert np.array_equal(dig_f, dig_p)
+    for a, b in zip(cells_f, cells_p):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
