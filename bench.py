@@ -655,5 +655,68 @@ def main() -> None:
     emit_json()
 
 
+def _supervise() -> int:
+    """Self-supervision against the tunnel's observed wedge mode: a fresh
+    PJRT client sometimes connects while the previous session drains and
+    then hangs forever BEFORE the first compile finishes (metadata RPCs
+    answer, execute/compile never do; no TCP socket, main thread in a
+    futex). The supervisor runs the real bench as a child, and if no
+    config reaches its post-keygen "setup:" line with >600 s of silence,
+    kills it by PID, waits for the relay to drain, and retries. Once any
+    setup line is seen, the child owns the run (its own watchdog +
+    SIGTERM partial-emit handle the rest). The driver-parsed JSON line is
+    forwarded to stdout verbatim; everything else goes to stderr."""
+    import subprocess
+    import threading
+    attempts = max(1, int(os.environ.get("LUMENOS_BENCH_ATTEMPTS", "3")))
+    rc = 7
+    for attempt in range(attempts):
+        env = dict(os.environ, LUMENOS_BENCH_SUPERVISOR="0")
+        child = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        last = [time.time()]
+        got_setup = [False]
+
+        def pump(stream=child.stdout):
+            for line in stream:
+                last[0] = time.time()
+                if "setup:" in line:
+                    got_setup[0] = True
+                if line.startswith('{"metric"'):
+                    print(line, end="", flush=True)
+                else:
+                    print(line, end="", file=sys.stderr, flush=True)
+
+        th = threading.Thread(target=pump, daemon=True)
+        th.start()
+
+        def fwd(signum, frame, c=child):
+            c.terminate()           # child emits its partial JSON line
+        signal.signal(signal.SIGTERM, fwd)
+        signal.signal(signal.SIGINT, fwd)
+
+        stalled = False
+        while child.poll() is None:
+            time.sleep(5)
+            if not got_setup[0] and time.time() - last[0] > 600:
+                print(f"bench-supervisor: attempt {attempt + 1} stalled "
+                      f"before setup; killing pid {child.pid}",
+                      file=sys.stderr, flush=True)
+                child.kill()
+                stalled = True
+                break
+        th.join(timeout=15)
+        if not stalled:
+            rc = child.returncode if child.returncode is not None else 1
+            break
+        child.wait()
+        time.sleep(90)              # let the relay drain the dead session
+    return rc
+
+
 if __name__ == "__main__":
+    if os.environ.get("LUMENOS_BENCH_SUPERVISOR", "1") != "0":
+        sys.exit(_supervise())
     main()

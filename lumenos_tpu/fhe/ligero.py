@@ -330,14 +330,16 @@ def commit_streaming_cts(
     ``chunk_source(staged) -> make_chunk`` where ``make_chunk(jc)`` yields
     the stage-A input chunk [n1, chunk_a, 2, L, N] at ``staged.level``
     (j-chunk jc of the [n1, n2] position grid: matrix columns at positions
-    p = i*n2 + j < cols, zero encryptions above). The source is invoked
-    TWICE - once for the streamed encode, once to re-read the matrix
-    ciphertexts for the products-level derivation; in production both
-    passes replay the same received bytes.
+    p = i*n2 + j < cols, zero encryptions above). The ciphertext stream is
+    read ONCE: the fused stage-A program emits both the transform output
+    and the products-level rescale of the matrix rows (staged.py
+    _stage_a_prod_fn) when cols covers whole grid rows; otherwise the
+    source is invoked a second time for the separate derivation pass
+    (derive_products_matrix; production re-reads the received bytes).
 
     The products-level matrix is derived by RESCALING those encode-level
-    ciphertexts (derive_products_matrix) - this function never calls an
-    encryptor (tests/test_hligero.py asserts it)."""
+    ciphertexts - this function never calls an encryptor
+    (tests/test_hligero.py asserts it)."""
     from .hntt import min_start_level
     from .staged import StagedEncode
     from ..ops.sha256_jax import digests_to_bytes
@@ -347,19 +349,29 @@ def commit_streaming_cts(
     lvl = (min_start_level(backend.params, size)
            if start_level is None else start_level)
     prod_level = min(prod_level, lvl)
-    with start_span("Encode", ctx):
-        staged = StagedEncode(backend, field, size, lvl)
-        enc_ct, digests, scales, _ = staged.run_streaming(
-            chunk_source(staged), staged.n2 // staged.chunk_a)
+    staged = StagedEncode(backend, field, size, lvl)
+    fused = meta.cols % staged.n2 == 0
+    with start_span("Encode (+products-level rescale)" if fused
+                    else "Encode", ctx):
+        if fused:
+            enc_ct, digests, scales, _, prod_data = staged.run_streaming(
+                chunk_source(staged), staged.n2 // staged.chunk_a,
+                prod_cfg=(meta.cols // staged.n2, prod_level))
+            prod_ct = CtBatch(data=prod_data, level=prod_level)
+        else:
+            enc_ct, digests, scales, _ = staged.run_streaming(
+                chunk_source(staged), staged.n2 // staged.chunk_a)
         sync(enc_ct.data)
         from .hsched import unit_schedule
         backend.mul_count += unit_schedule(field, size, size).n_layers * size
     with start_span("Merkle tree built", ctx):
         tree = FastMerkleTree(digests_to_bytes(np.asarray(digests)))
-    with start_span("Products-level matrix (rescale received cts)", ctx):
-        prod_ct, _ = derive_products_matrix(
-            backend, staged, chunk_source(staged), meta.cols, prod_level)
-        sync(prod_ct.data)
+    if not fused:
+        with start_span("Products-level matrix (rescale received cts)", ctx):
+            prod_ct, _ = derive_products_matrix(
+                backend, staged, chunk_source(staged), meta.cols,
+                prod_level)
+            sync(prod_ct.data)
     return HomomorphicLigeroProver(
         committer=committer, backend=backend, matrix_ct=prod_ct,
         encoded_lvl1=enc_ct,

@@ -244,20 +244,39 @@ class StagedEncode:
                   file=sys.stderr)
         return cells
 
-    def run_streaming(self, make_chunk, n_chunks: int):
+    def run_streaming(self, make_chunk, n_chunks: int,
+                      prod_cfg: tuple | None = None):
         """Memory-minimal execution: obtain each stage-A input chunk
         just-in-time from `make_chunk(jc)` (e.g. encrypt-on-demand), so at
         most ONE input chunk is device-resident next to the mid buffers.
-        Returns (CtBatch, digests, scales, device_seconds) where
-        device_seconds counts only the transform/digest device calls
-        (chunk production is the client's encryption, not server work)."""
+        Returns (CtBatch, digests, scales, device_seconds[, prod_data])
+        where device_seconds counts only the transform/digest device calls
+        (chunk production is the client's encryption, not server work).
+
+        prod_cfg=(n1h, prod_level): fused single-read products-level
+        derivation — same semantics as run_streaming_cells(prod_cfg=...):
+        the stage-A program also emits the prod-level rescale of the
+        matrix rows and the assembled [n1h*n2, 2, prod_level+1, N] array
+        is returned as a fifth element."""
         import time as _time
         backend = self.backend
-        fa = _stage_a_fn(backend, self.field, self.n1, self.chunk_a,
-                         self.level, self.mid)
         t_dev = 0.0
         Lm = self.mid + 1
         n = backend.n
+        if prod_cfg is not None:
+            n1h, prod_level = prod_cfg
+            fa = _stage_a_prod_fn(backend, self.field, self.n1,
+                                  self.chunk_a, self.level, self.mid,
+                                  n1h, prod_level)
+            prod_buf = jnp.zeros(
+                (n1h, self.n2, 2, prod_level + 1, n), jnp.uint64)
+            upd_prod = _CACHE.setdefault(
+                ("UPDP", self.size, n1h, prod_level, n, self.chunk_a),
+                jax.jit(lambda b, c, j0: jax.lax.dynamic_update_slice(
+                    b, c, (0, j0, 0, 0, 0)), donate_argnums=(0,)))
+        else:
+            fa = _stage_a_fn(backend, self.field, self.n1, self.chunk_a,
+                             self.level, self.mid)
         small = jnp.zeros((self.n1, self.n2, 2, Lm, n), dtype=jnp.uint64)
         upd = _CACHE.setdefault(
             ("upd", self.size, Lm, n, self.chunk_a),
@@ -270,7 +289,11 @@ class StagedEncode:
             chunk = make_chunk(k)
             sync(chunk)
             t0 = _time.perf_counter()
-            out = fa(chunk)
+            if prod_cfg is not None:
+                out, pp = fa(chunk)
+                prod_buf = upd_prod(prod_buf, pp, k * self.chunk_a)
+            else:
+                out = fa(chunk)
             small = upd(small, out, k * self.chunk_a)
             sync(small)
             t_dev += _time.perf_counter() - t0
@@ -287,6 +310,11 @@ class StagedEncode:
             print(f"[staged] finalize+digests: "
                   f"{_time.perf_counter() - t1:.2f}s", file=sys.stderr)
         t_dev += _time.perf_counter() - t0
+        if prod_cfg is not None:
+            prod_data = prod_buf.reshape(
+                prod_buf.shape[0] * self.n2, *prod_buf.shape[2:])
+            return (CtBatch(data=flat, level=1), digests,
+                    self.final_scales, t_dev, prod_data)
         return CtBatch(data=flat, level=1), digests, self.final_scales, t_dev
 
     # -- cells-layout streaming (the LogN=14 / 16384x4096 memory shape) ---
