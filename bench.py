@@ -637,9 +637,15 @@ def main() -> None:
     t_start = time.perf_counter()
     for i, (rows, cols, log_n) in enumerate(configs):
         elapsed = time.perf_counter() - t_start
-        if i > 0 and elapsed > 0.45 * budget:
+        # wall-clock estimate of one config leg (compile + matrix gen +
+        # timed reps + full verify + client timings), pessimistic for
+        # cold caches; skip the config only if it cannot finish in the
+        # remaining budget
+        est = 700 if rows * cols >= 16384 * 4096 else 350
+        if i > 0 and elapsed > budget - est:
             print(f"bench: skipping {rows}x{cols} (elapsed {elapsed:.0f}s "
-                  f"> 45% of {budget:.0f}s budget)", file=sys.stderr)
+                  f"+ est {est}s exceeds {budget:.0f}s budget)",
+                  file=sys.stderr)
             break
         try:
             RESULTS[f"{rows}x{cols}"] = run_config(rows, cols, log_n, check)
