@@ -287,6 +287,7 @@ class BgvBackend:
 
     def decrypt_poly_t(self, ct: CtBatch, sk: SecretKey):
         """-> [..., N] plaintext polynomial coefficients mod t."""
+        assert not ct.is_ntt, "decrypt expects a coefficient-domain ciphertext"
         return self._decrypt_jit(ct.level)(ct.data, sk.s_ntt)
 
     def decrypt_values(self, ct: CtBatch, sk: SecretKey, k: int | None = None):
@@ -340,8 +341,17 @@ class BgvBackend:
         against the key, so the client's inner-product decrypt phase
         (reference README.md:86 — 47.53 s at 16384x4096 on its 2-vCPU
         client) collapses to a masked sum + one scale-and-round. Equal to
-        decrypt_c0 bit-for-bit (tests/test_backend_c0fast.py)."""
-        mp, mm = self.c0_masks(sk)
+        decrypt_c0 bit-for-bit (tests/test_backend_c0fast.py).
+
+        The device-resident mask pair is cached per secret key (the
+        advertised hot client path calls this twice per proof; rebuilding
+        the masks was an O(N) host loop + two uploads per call)."""
+        assert not ct.is_ntt, "decrypt expects a coefficient-domain ciphertext"
+        cache = self.__dict__.setdefault("_c0_mask_cache", {})
+        ent = cache.get(id(sk))
+        if ent is None or ent[0] is not sk:
+            cache[id(sk)] = ent = (sk, self.c0_masks(sk))
+        mp, mm = ent[1]
         return self._decrypt_c0_fast_jit(ct.level)(ct.data, mp, mm)
 
     # -- evaluator ops -----------------------------------------------------

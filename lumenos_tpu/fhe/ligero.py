@@ -322,6 +322,7 @@ def commit_streaming_cts(
     ctx: Span | None = None,
     start_level: int | None = None,
     prod_level: int = 2,
+    fused: bool = True,
 ) -> HomomorphicLigeroProver:
     """Ciphertext-only production commit: the server consumes ONLY
     client-encrypted ciphertexts (reference trust model:
@@ -330,12 +331,15 @@ def commit_streaming_cts(
     ``chunk_source(staged) -> make_chunk`` where ``make_chunk(jc)`` yields
     the stage-A input chunk [n1, chunk_a, 2, L, N] at ``staged.level``
     (j-chunk jc of the [n1, n2] position grid: matrix columns at positions
-    p = i*n2 + j < cols, zero encryptions above). The ciphertext stream is
-    read ONCE: the fused stage-A program emits both the transform output
-    and the products-level rescale of the matrix rows (staged.py
-    _stage_a_prod_fn) when cols covers whole grid rows; otherwise the
-    source is invoked a second time for the separate derivation pass
-    (derive_products_matrix; production re-reads the received bytes).
+    p = i*n2 + j < cols, zero encryptions above). ``cols`` must cover
+    whole grid rows (cols % staged.n2 == 0 — true for every power-of-two
+    matrix at rho_inv=2; asserted below): both derivation modes slice the
+    matrix as whole i-rows. The ciphertext stream is read ONCE on the
+    default path: the fused stage-A program emits both the transform
+    output and the products-level rescale of the matrix rows (staged.py
+    _stage_a_prod_fn). Set fused=False to re-read the stream in a second
+    derivation pass instead (derive_products_matrix; production re-reads
+    the received bytes) when the fused buffer does not fit HBM.
 
     The products-level matrix is derived by RESCALING those encode-level
     ciphertexts - this function never calls an encryptor
@@ -350,7 +354,9 @@ def commit_streaming_cts(
            if start_level is None else start_level)
     prod_level = min(prod_level, lvl)
     staged = StagedEncode(backend, field, size, lvl)
-    fused = meta.cols % staged.n2 == 0
+    assert meta.cols % staged.n2 == 0, (
+        f"cols={meta.cols} must cover whole grid rows (n2={staged.n2}): "
+        f"both products-derivation modes slice whole i-rows")
     with start_span("Encode (+products-level rescale)" if fused
                     else "Encode", ctx):
         if fused:
