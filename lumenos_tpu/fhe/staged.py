@@ -47,14 +47,43 @@ from .hsched import apply_schedule_auto, apply_schedule_full_auto, \
     record_schedule, unit_schedule
 
 _CACHE: dict = {}
+_AOT_SWAPPED: set = set()
+
+
+def _aot_swap(key, tag, sds) -> None:
+    """Replace _CACHE[key] (a jitted program) with its AOT-compiled
+    executable for the given input ShapeDtypeStructs — loaded from the
+    on-disk executable store when LUMENOS_AOT_DIR holds it (no XLA
+    work), compiled-and-persisted otherwise (ops/aot.py). No-op cost
+    beyond .lower().compile() when the store is unconfigured."""
+    if key in _AOT_SWAPPED:
+        return
+    from ..ops.aot import aot_dir, compile_or_load
+    out = compile_or_load(tag, _CACHE[key], *sds)
+    if aot_dir() is not None:
+        # only swap the cached jit for the fixed-shape executable when a
+        # store is configured: default behavior stays byte-for-byte the
+        # old .lower().compile() warm-up (a jit serves any shape; a
+        # Compiled serves exactly one)
+        _CACHE[key] = out
+    _AOT_SWAPPED.add(key)
+
+
+def _params_tag(backend) -> str:
+    """Cross-process-stable fingerprint of the parameter set (the
+    in-process caches key on id(backend); the AOT store must not)."""
+    import hashlib
+    qs = tuple(int(q) for q in backend.params.q_primes)
+    return hashlib.sha256(repr((qs, backend.params.n, backend.params.t))
+                          .encode()).hexdigest()[:10]
 
 
 def _hbm_budget() -> float:
     """Usable HBM bytes for the staged-encode chunk heuristics: the
-    device's reported bytes_limit when the runtime exposes it, else the
-    LUMENOS_HBM_BUDGET env override, else 15 GB (v5e). ADVICE r3: the
-    previous hardcoded 15e9 mis-sized chunks on chips with different
-    memory."""
+    LUMENOS_HBM_BUDGET env override when set (it always wins), else the
+    device's reported bytes_limit when the runtime exposes it, else 15 GB
+    (v5e). ADVICE r3: the previous hardcoded 15e9 mis-sized chunks on
+    chips with different memory."""
     import os
     env = os.environ.get("LUMENOS_HBM_BUDGET")
     if env:
@@ -69,37 +98,82 @@ def _hbm_budget() -> float:
     return 15.0e9
 
 
-def _stage_a_fn(backend, field, n1: int, cw: int, level: int, mid_level: int):
-    key = ("A", id(backend), field.modulus, field.n, n1, cw, level, mid_level)
+def _mxu_enabled() -> bool:
+    """Default policy for the MXU matmul transform (ops/mxu_ntt.py):
+    LUMENOS_MXU_NTT=1/0 forces it; with the env unset it is on only on
+    TPU once the on-chip validation marker exists (committed after a
+    hardware PASS, same convention as the Pallas rescale chain)."""
+    import os
+    env = os.environ.get("LUMENOS_MXU_NTT")
+    if env is not None:
+        return env == "1"
+    if jax.default_backend() == "cpu":
+        return False
+    return os.path.exists(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".mxu_ntt_ok"))
+
+
+def _stage_a_transform(backend, field, n1: int, cw: int, level: int,
+                       mxu: bool):
+    """Traced group transform for stage A: chunk [n1, cw, 2, L, N] ->
+    transformed [n1, cw, 2, L, N] (same level; caller rescales). The MXU
+    and schedule paths are bit-identical (tests/test_mxu_ntt.py)."""
+    q, _, _ = backend.params.limb_consts(level)
+    if mxu:
+        from ..ops.mxu_ntt import matmul_transform, unit_stage_tables
+        W8, D, red = unit_stage_tables(field, n1, q)
+
+        def tf(chunk):
+            n = chunk.shape[-1]
+            L = chunk.shape[-2]
+            xt = jnp.transpose(chunk, (3, 0, 1, 2, 4)).reshape(
+                L, n1, cw * 2 * n)
+            out = matmul_transform(xt, W8, q, D, red)
+            out = out.reshape(L, n1, cw, 2, n)
+            return jnp.transpose(out, (1, 2, 3, 0, 4))
+        return tf
+
+    sched = unit_schedule(field, n1, cw * n1)
+    res = sched.residues([int(x) for x in q])
+
+    def tf(chunk):
+        c = jnp.swapaxes(chunk, 0, 1)               # [cw, n1, ...]
+        flat = c.reshape((cw * n1,) + c.shape[2:])
+        out = apply_schedule_full_auto(flat, sched, res, q)
+        o = out.reshape((cw, n1) + out.shape[1:])
+        return jnp.swapaxes(o, 0, 1)
+    return tf
+
+
+def _stage_a_fn(backend, field, n1: int, cw: int, level: int, mid_level: int,
+                mxu: bool = False, sds=None):
+    key = ("A", id(backend), field.modulus, field.n, n1, cw, level,
+           mid_level, mxu)
     if key not in _CACHE:
-        sched = unit_schedule(field, n1, cw * n1)
-        q, _, _ = backend.params.limb_consts(level)
-        res = sched.residues([int(x) for x in q])
+        tf = _stage_a_transform(backend, field, n1, cw, level, mxu)
 
         def impl(chunk):  # [n1, cw, 2, L, N] -> [n1, cw, 2, Lm, N]
-            c = jnp.swapaxes(chunk, 0, 1)               # [cw, n1, ...]
-            flat = c.reshape((cw * n1,) + c.shape[2:])
-            out = apply_schedule_full_auto(flat, sched, res, q)
-            out = backend.rescale_to(
-                CtBatch(data=out, level=level), mid_level)
-            o = out.data.reshape((cw, n1) + out.data.shape[1:])
-            return jnp.swapaxes(o, 0, 1)
+            out = tf(chunk)
+            return backend.rescale_to(
+                CtBatch(data=out, level=level), mid_level).data
         _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
+    if sds is not None:
+        _aot_swap(key, f"stA-{_params_tag(backend)}-{n1}x{cw}-"
+                  f"{level}to{mid_level}-mxu{int(mxu)}", sds)
     return _CACHE[key]
 
 
 def _stage_a_prod_fn(backend, field, n1: int, cw: int, level: int,
-                     mid_level: int, n1h: int, prod_level: int):
+                     mid_level: int, n1h: int, prod_level: int,
+                     mxu: bool = False, sds=None):
     """Stage A fused with the products-level derivation: ONE program per
     chunk returns (mid-level transform output, prod-level rescale of the
     matrix rows i < n1h). Replaces the separate ProductsSink dispatches
     (eager slice + extract + sync per chunk) on the single-pass path."""
     key = ("AP", id(backend), field.modulus, field.n, n1, cw, level,
-           mid_level, n1h, prod_level)
+           mid_level, n1h, prod_level, mxu)
     if key not in _CACHE:
-        sched = unit_schedule(field, n1, cw * n1)
-        q, _, _ = backend.params.limb_consts(level)
-        res = sched.residues([int(x) for x in q])
+        tf = _stage_a_transform(backend, field, n1, cw, level, mxu)
 
         def impl(chunk):  # [n1, cw, 2, L, N]
             pr = backend.rescale_to(
@@ -107,28 +181,50 @@ def _stage_a_prod_fn(backend, field, n1: int, cw: int, level: int,
                                                  + chunk.shape[2:]),
                         level=level), prod_level)
             pp = pr.data.reshape((n1h, cw) + pr.data.shape[1:])
-            c = jnp.swapaxes(chunk, 0, 1)               # [cw, n1, ...]
-            flat = c.reshape((cw * n1,) + c.shape[2:])
-            out = apply_schedule_full_auto(flat, sched, res, q)
+            out = tf(chunk)
             out = backend.rescale_to(
-                CtBatch(data=out, level=level), mid_level)
-            o = out.data.reshape((cw, n1) + out.data.shape[1:])
-            return jnp.swapaxes(o, 0, 1), pp
+                CtBatch(data=out, level=level), mid_level).data
+            return out, pp
         _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
+    if sds is not None:
+        _aot_swap(key, f"stAP-{_params_tag(backend)}-{n1}x{cw}-"
+                  f"{level}to{mid_level}-p{n1h}x{prod_level}-mxu{int(mxu)}",
+                  sds)
     return _CACHE[key]
 
 
-def _stage_b_fn(backend, field, n2: int, cw: int, mid_level: int):
-    """ONE compiled program for every row chunk: per-row cofactor residues
-    are inputs (w/ws [cw, nl, n2, L]), the pairing is a shared constant.
-    Rows stack into one flat position axis (each row = one transform
-    group), so the fused Pallas kernel serves the whole chunk in a single
-    call on TPU."""
-    key = ("B", id(backend), field.modulus, field.n, n2, cw, mid_level)
+def _stage_b_fn(backend, field, n2: int, cw: int, mid_level: int,
+                mxu: bool = False):
+    """ONE compiled program for every row chunk. Schedule path: per-row
+    cofactor residues are inputs (w/ws [cw, nl, n2, L]), the pairing is a
+    shared constant. MXU path (ops/mxu_ntt.py): each row's exact per-limb
+    matrix enters as a device-resident int8 digit-table slice
+    w8 [cw, Lm, D*n2, D*n2] — still exactly one program per row-chunk
+    shape."""
+    key = ("B", id(backend), field.modulus, field.n, n2, cw, mid_level,
+           mxu)
     if key not in _CACHE:
+        q, _, _ = backend.params.limb_consts(mid_level)
+        if mxu:
+            from ..ops.mxu_ntt import (matmul_transform_rows, n_digits,
+                                       reduce_consts)
+            D = n_digits(q)
+            red = reduce_consts(q)
+
+            def impl(chunk, w8):  # chunk [cw, n2, 2, Lm, N]
+                n = chunk.shape[-1]
+                Lm = chunk.shape[-2]
+                x = jnp.transpose(chunk, (3, 0, 1, 2, 4)).reshape(
+                    Lm, cw, n2, 2 * n)
+                out = matmul_transform_rows(x, w8, q, D, red)
+                out = out.reshape(Lm, cw, n2, 2, n)
+                out = jnp.transpose(out, (1, 2, 3, 0, 4))
+                return backend.rescale_to(
+                    CtBatch(data=out, level=mid_level), 1).data
+            _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
+            return _CACHE[key]
         sched = unit_schedule(field, n2, cw * n2)  # pairing is scale-indep.
         fpos = np.asarray(sched.final_pos)
-        q, _, _ = backend.params.limb_consts(mid_level)
         nl = sched.n_layers
 
         def impl(chunk, w, ws):  # chunk [cw, n2, 2, Lm, N]
@@ -143,7 +239,7 @@ def _stage_b_fn(backend, field, n2: int, cw: int, mid_level: int):
     return _CACHE[key]
 
 
-def _finalize_fn(size: int, n: int):
+def _finalize_fn(size: int, n: int, sds=None):
     key = ("F", size, n)
     if key not in _CACHE:
         def impl(o):  # [n1, n2, 2, 2, N] -> (flat [size,2,2,N], digests)
@@ -152,6 +248,8 @@ def _finalize_fn(size: int, n: int):
             digests = sha256_leaves_striped(leaves, leaves.shape[1] * 8)
             return flat, digests
         _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
+    if sds is not None:
+        _aot_swap(key, f"fin-{size}x{n}", sds)
     return _CACHE[key]
 
 
@@ -160,7 +258,8 @@ class StagedEncode:
 
     def __init__(self, backend: BgvBackend, field: PrimeField, size: int,
                  start_level: int, mid_level: int = 5,
-                 chunk_a: int = 16, chunk_b: int = 16):
+                 chunk_a: int = 16, chunk_b: int = 16,
+                 use_mxu: bool | None = None):
         self.backend = backend
         self.field = field
         self.size = size
@@ -197,10 +296,54 @@ class StagedEncode:
         # reference flat order: position p = j*n1 + i
         self.final_scales = np.array(final.T.reshape(-1).tolist(), dtype=object)
 
+        self.use_mxu = _mxu_enabled() if use_mxu is None else use_mxu
+        if self.use_mxu:
+            try:
+                self._ensure_mxu()
+            except ValueError as e:  # pragma: no cover - defensive
+                import sys
+                print(f"staged: MXU transform disabled ({e}); "
+                      f"falling back to the schedule executor",
+                      file=sys.stderr)
+                self.use_mxu = False
+
+    def _ensure_mxu(self) -> None:
+        """Probe the stage-B per-row matrices and build their int8 digit
+        tables, device-resident (one upload at setup; stage-B programs
+        take the row-chunk slice as a traced input). The per-limb maps do
+        not factor through a shared matrix (mxu_ntt.py docstring), so the
+        tables are per-row: [n1, Lm, D*n2, D*n2] int8."""
+        from ..ops.mxu_ntt import build_digit_tables, probe_row_matrices
+        q_mid, _, _ = self.backend.params.limb_consts(self.mid)
+        M = probe_row_matrices(self.field, self.n2, self._row_res, q_mid)
+        W8, _ = build_digit_tables(M, q_mid)
+        self.mxu_table_bytes = W8.nbytes
+        self._mxu_w8_dev = jnp.asarray(W8)   # [n1, Lm, D*n2, D*n2] int8
+
     def _row_chunk_res(self, i0: int, cw: int):
         """Stacked cofactor inputs for rows i0..i0+cw-1: 2 x [cw, nl, n2, L]."""
         return tuple(np.stack([self._row_res[i0 + r][k] for r in range(cw)])
                      for k in range(2))
+
+    def _row_args(self, i0: int, cw: int):
+        """Stage-B per-row-chunk traced inputs for the active transform
+        path: (w, ws) stacked residues (schedule) or the device-resident
+        int8 table slice (MXU; device-side slice, no re-upload)."""
+        if not self.use_mxu:
+            return self._row_chunk_res(i0, cw)
+        return (self._mxu_w8_dev[i0:i0 + cw],)
+
+    def _row_args_sds(self, cw: int):
+        """ShapeDtypeStructs matching _row_args (AOT precompilation)."""
+        import jax as _jax
+        u64 = jnp.uint64
+        Lm = self.mid + 1
+        if not self.use_mxu:
+            nl = unit_schedule(self.field, self.n2, self.n2).n_layers
+            w = _jax.ShapeDtypeStruct((cw, nl, self.n2, Lm), u64)
+            return w, w
+        ds = self._mxu_w8_dev.shape[2]
+        return (_jax.ShapeDtypeStruct((cw, Lm, ds, ds), jnp.int8),)
 
     # -- compile everything with dummy shapes (no big buffers live) --------
 
@@ -211,16 +354,15 @@ class StagedEncode:
         u64 = jnp.uint64
         import jax as _jax
         _stage_a_fn(self.backend, self.field, self.n1, self.chunk_a,
-                    self.level, self.mid).lower(
-            _jax.ShapeDtypeStruct((self.n1, self.chunk_a, 2, L, n), u64)).compile()
+                    self.level, self.mid, self.use_mxu, sds=(
+            _jax.ShapeDtypeStruct((self.n1, self.chunk_a, 2, L, n), u64),))
         cw = self.chunk_b
-        nl = unit_schedule(self.field, self.n2, self.n2).n_layers
-        wshape = _jax.ShapeDtypeStruct((cw, nl, self.n2, Lm), u64)
-        _stage_b_fn(self.backend, self.field, self.n2, cw, self.mid).lower(
+        _stage_b_fn(self.backend, self.field, self.n2, cw, self.mid,
+                    self.use_mxu).lower(
             _jax.ShapeDtypeStruct((cw, self.n2, 2, Lm, n), u64),
-            wshape, wshape).compile()
-        _finalize_fn(self.size, n).lower(
-            _jax.ShapeDtypeStruct((self.n1, self.n2, 2, 2, n), u64)).compile()
+            *self._row_args_sds(cw)).compile()
+        _finalize_fn(self.size, n, sds=(
+            _jax.ShapeDtypeStruct((self.n1, self.n2, 2, 2, n), u64),))
 
     # -- execution ---------------------------------------------------------
 
@@ -232,8 +374,9 @@ class StagedEncode:
         outs = []
         for i0 in range(0, self.n1, self.chunk_b):
             cw = min(self.chunk_b, self.n1 - i0)
-            fb = _stage_b_fn(self.backend, self.field, self.n2, cw, self.mid)
-            ob = fb(small[i0:i0 + cw], *self._row_chunk_res(i0, cw))
+            fb = _stage_b_fn(self.backend, self.field, self.n2, cw,
+                             self.mid, self.use_mxu)
+            ob = fb(small[i0:i0 + cw], *self._row_args(i0, cw))
             sync(ob)
             outs.append(ob)
         cells = jnp.concatenate(outs, axis=0)
@@ -267,7 +410,7 @@ class StagedEncode:
             n1h, prod_level = prod_cfg
             fa = _stage_a_prod_fn(backend, self.field, self.n1,
                                   self.chunk_a, self.level, self.mid,
-                                  n1h, prod_level)
+                                  n1h, prod_level, self.use_mxu)
             prod_buf = jnp.zeros(
                 (n1h, self.n2, 2, prod_level + 1, n), jnp.uint64)
             upd_prod = _CACHE.setdefault(
@@ -276,7 +419,7 @@ class StagedEncode:
                     b, c, (0, j0, 0, 0, 0)), donate_argnums=(0,)))
         else:
             fa = _stage_a_fn(backend, self.field, self.n1, self.chunk_a,
-                             self.level, self.mid)
+                             self.level, self.mid, self.use_mxu)
         small = jnp.zeros((self.n1, self.n2, 2, Lm, n), dtype=jnp.uint64)
         upd = _CACHE.setdefault(
             ("upd", self.size, Lm, n, self.chunk_a),
@@ -331,20 +474,25 @@ class StagedEncode:
     #   - queried columns gather straight from the cell blocks
     #     (gather_positions), so no consumer needs the flat copy.
 
-    def _stage_bd_fn(self, bw: int):
+    def _stage_bd_fn(self, bw: int, sds=None):
         """Stage B + on-device leaf digests for one i-block."""
         key = ("BD", id(self.backend), self.field.modulus, self.field.n,
-               self.n2, bw, self.mid)
+               self.n2, bw, self.mid, self.use_mxu)
         if key not in _CACHE:
-            fb = _stage_b_fn(self.backend, self.field, self.n2, bw, self.mid)
+            fb = _stage_b_fn(self.backend, self.field, self.n2, bw,
+                             self.mid, self.use_mxu)
             n = self.backend.n
 
-            def impl(chunk, w, ws):
-                cells = fb(chunk, w, ws)          # [bw, n2, 2, 2, N]
+            def impl(chunk, *row_args):
+                cells = fb(chunk, *row_args)      # [bw, n2, 2, 2, N]
                 leaves = cells.reshape(bw * self.n2, -1)
                 digests = sha256_leaves_striped(leaves, leaves.shape[1] * 8)
                 return cells, digests
             _CACHE[key] = jax.jit(impl, donate_argnums=(0,))
+        if sds is not None:
+            _aot_swap(key, f"stBD-{_params_tag(self.backend)}-"
+                      f"{bw}x{self.n2}-m{self.mid}-mxu{int(self.use_mxu)}",
+                      sds)
         return _CACHE[key]
 
     def _bd_cw(self, bw: int) -> int:
@@ -387,7 +535,7 @@ class StagedEncode:
             f"cofactors advance unclamped, mismatching rows (ADVICE r3)")
         if cw >= bw:
             cells_b, dig_b = self._stage_bd_fn(bw)(
-                blk, *self._row_chunk_res(b * bw, bw))
+                blk, *self._row_args(b * bw, bw))
             return cells_b, np.asarray(dig_b)
         sl, upd = self._bd_slice_upd(bw, cw)
         fbd = self._stage_bd_fn(cw)
@@ -396,7 +544,7 @@ class StagedEncode:
         digs = []
         for r0 in range(0, bw, cw):
             sub = sl(blk, r0)
-            cell_s, dig_s = fbd(sub, *self._row_chunk_res(b * bw + r0, cw))
+            cell_s, dig_s = fbd(sub, *self._row_args(b * bw + r0, cw))
             digs.append(np.asarray(dig_s))          # tiny d2h; real fence
             cells_b = upd(cells_b, cell_s, r0)
             del sub, cell_s
@@ -421,11 +569,29 @@ class StagedEncode:
             fns = [mk(b) for b in range(n_blocks)]
 
             def scatter(out, j0, *blocks):
-                return [fns[b](out, j0, blocks[b])
+                return [scatter.fns[b](out, j0, blocks[b])
                         for b in range(n_blocks)]
             scatter.fns = fns
             _CACHE[key] = scatter
         return _CACHE[key]
+
+    def _scatter_aot(self, bw: int, n_blocks: int, Lm: int,
+                     out_sd, blk_sd) -> None:
+        """AOT-compile/load the per-block scatter programs in place."""
+        scatter = self._scatter_fn(bw, n_blocks, Lm)
+        from ..ops.aot import aot_dir, compile_or_load
+        akey = ("SCaot", self.size, bw, n_blocks, Lm, self.backend.n,
+                self.chunk_a)
+        if akey in _AOT_SWAPPED:
+            return
+        tagbase = (f"scat-{_params_tag(self.backend)}-{self.size}-"
+                   f"{bw}x{n_blocks}-{Lm}-{self.chunk_a}")
+        out = [compile_or_load(f"{tagbase}-b{b}", scatter.fns[b],
+                               out_sd, 0, blk_sd)
+               for b in range(n_blocks)]
+        if aot_dir() is not None:   # see _aot_swap
+            scatter.fns = out
+        _AOT_SWAPPED.add(akey)
 
     def ref_to_cell_perm(self) -> np.ndarray:
         """digest_ref[p] = digest_cells[perm[p]] (cells are i-major)."""
@@ -492,7 +658,8 @@ class StagedEncode:
             n1h, prod_level = prod_cfg
             _stage_a_prod_fn(self.backend, self.field, self.n1,
                              self.chunk_a, self.level, self.mid,
-                             n1h, prod_level).lower(chunk_sd).compile()
+                             n1h, prod_level, self.use_mxu,
+                             sds=(chunk_sd,))
             upd_prod = _CACHE.setdefault(
                 ("UPDP", self.size, n1h, prod_level, n, self.chunk_a),
                 jax.jit(lambda b, c, j0: jax.lax.dynamic_update_slice(
@@ -504,22 +671,19 @@ class StagedEncode:
                                        n), u64), 0).compile()
         else:
             _stage_a_fn(self.backend, self.field, self.n1, self.chunk_a,
-                        self.level, self.mid).lower(chunk_sd).compile()
+                        self.level, self.mid, self.use_mxu,
+                        sds=(chunk_sd,))
         blk = _jax.ShapeDtypeStruct((bw, self.n2, 2, Lm, n), u64)
         out_sd = _jax.ShapeDtypeStruct((self.n1, self.chunk_a, 2, Lm, n), u64)
-        for fn in self._scatter_fn(bw, n_blocks, Lm).fns:
-            fn.lower(out_sd, 0, blk).compile()
-        nl = unit_schedule(self.field, self.n2, self.n2).n_layers
+        self._scatter_aot(bw, n_blocks, Lm, out_sd, blk)
         cw = self._bd_cw(bw)
         if cw >= bw:
-            wshape = _jax.ShapeDtypeStruct((bw, nl, self.n2, Lm), u64)
-            self._stage_bd_fn(bw).lower(blk, wshape, wshape).compile()
+            self._stage_bd_fn(bw, sds=(blk,) + self._row_args_sds(bw))
         else:
             sl, upd = self._bd_slice_upd(bw, cw)
             sub = _jax.ShapeDtypeStruct((cw, self.n2, 2, Lm, n), u64)
             sl.lower(blk, 0).compile()
-            wshape = _jax.ShapeDtypeStruct((cw, nl, self.n2, Lm), u64)
-            self._stage_bd_fn(cw).lower(sub, wshape, wshape).compile()
+            self._stage_bd_fn(cw, sds=(sub,) + self._row_args_sds(cw))
             cbuf = _jax.ShapeDtypeStruct((bw, self.n2, 2, 2, n), u64)
             csub = _jax.ShapeDtypeStruct((cw, self.n2, 2, 2, n), u64)
             upd.lower(cbuf, csub, 0).compile()
@@ -547,7 +711,12 @@ class StagedEncode:
         products-level matrix derivation (rescale of the received
         encode-level cts, fhe/ligero.py ProductsSink) without a second
         pass over the chunk stream. The sink times its own device work;
-        it is NOT included in device_seconds here.
+        it is NOT included in device_seconds here. CONTRACT: the sink
+        must fence (sync) every device read of `chunk` before returning —
+        stage A donates the chunk buffer on the next line, so a sink that
+        defers device work would read an invalidated buffer
+        (ProductsSink syncs its update internally; a custom sink must
+        do the same).
 
         prod_cfg=(n1h, prod_level): FUSED single-pass derivation — the
         stage-A program itself also emits the prod-level rescale of the
@@ -566,7 +735,7 @@ class StagedEncode:
             n1h, prod_level = prod_cfg
             fa = _stage_a_prod_fn(backend, self.field, self.n1,
                                   self.chunk_a, self.level, self.mid,
-                                  n1h, prod_level)
+                                  n1h, prod_level, self.use_mxu)
             prod_buf = jnp.zeros(
                 (n1h, self.n2, 2, prod_level + 1, n), jnp.uint64)
             upd_prod = _CACHE.setdefault(
@@ -575,7 +744,7 @@ class StagedEncode:
                     b, c, (0, j0, 0, 0, 0)), donate_argnums=(0,)))
         else:
             fa = _stage_a_fn(backend, self.field, self.n1, self.chunk_a,
-                             self.level, self.mid)
+                             self.level, self.mid, self.use_mxu)
         blocks = [jnp.zeros((bw, self.n2, 2, Lm, n), dtype=jnp.uint64)
                   for _ in range(n_blocks)]
         scat = self._scatter_fn(bw, n_blocks, Lm)
