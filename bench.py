@@ -163,9 +163,31 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     idxs = sample_query_indices(tr, n_queries, ext_cols)
 
     # ---- staged cells geometry (ALL configs share this path) -----------
-    staged = StagedEncode(backend, field, ext_cols, start_level)
-    # input chunk <= ~0.8 GB (powers of 2)
-    ca = max(1, int(0.8e9 // (staged.n1 * 2 * (start_level + 1) * n * 8)))
+    # mid level: default 5; LUMENOS_BENCH_MID overrides (a smaller mid
+    # shrinks the mid buffer and stage-B limb count — at 16384x4096 it is
+    # what lets the fused single-pass products buffer fit beside it; the
+    # full proof verification below is the empirical noise-margin check)
+    mid_env = os.environ.get("LUMENOS_BENCH_MID")
+    staged = StagedEncode(backend, field, ext_cols, start_level,
+                          mid_level=int(mid_env) if mid_env else 5)
+    # Stage-A chunk sizing: every chunk costs one timed fence (one tunnel
+    # round-trip, measured ~78 ms) on top of its compute, so chunks should
+    # be as LARGE as the HBM headroom next to the resident buffers allows
+    # (round-5 profiling: at 8192x4096 the 16 fences alone were ~1.2 s of
+    # "encode"). Headroom model: mid buffer + fused-prod buffer stay
+    # resident; a chunk needs ~3x its bytes of program liveness; keep a
+    # 4 GB general reserve. Bounds: [0.8 GB, 1.7 GB], whole-input if it
+    # fits the cap. LUMENOS_BENCH_CA overrides the chunk row count.
+    hbm0 = _hbm_budget()
+    mid_bytes0 = ext_cols * 2 * (staged.mid + 1) * n * 8
+    prod_bytes0 = cols * 2 * (prod_level + 1) * n * 8
+    in_bytes_total = ext_cols * 2 * (start_level + 1) * n * 8
+    cap = min(1.7e9, max(0.8e9, (hbm0 - mid_bytes0 - prod_bytes0 - 3e9) / 3))
+    if in_bytes_total <= 1.7e9:
+        cap = max(cap, in_bytes_total)   # small config: one chunk
+    ca_env = os.environ.get("LUMENOS_BENCH_CA")
+    ca = (int(ca_env) if ca_env else
+          max(1, int(cap // (staged.n1 * 2 * (start_level + 1) * n * 8))))
     while ca & (ca - 1):
         ca &= ca - 1
     staged.chunk_a = min(max(ca, 1), staged.n2)
@@ -190,6 +212,11 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     # compute dispatches, so 81-162 MB in flight inflates every stage-B
     # and prodmat round-trip (measured: 8192 encode 11.8 s vs 3.6 s
     # clean). Large configs transfer in the tail window instead.
+    # stage-A chunks per timed fence: group while the in-flight chunk
+    # buffers fit the same headroom model
+    chunk_bytes = staged.n1 * staged.chunk_a * 2 * (start_level + 1) * n * 8
+    headroom = hbm0 - mid_bytes0 - (prod_bytes0 if single_pass else 0) - 3e9
+    fence_group = max(1, min(4, int(headroom // (2.5 * chunk_bytes))))
     xfer_bytes = n_queries * 2 * 2 * n * 8
     ex_env = os.environ.get("LUMENOS_BENCH_EARLYXFER")
     # measured at 8192 (81 MB): stage B absorbs ~+1.5 s of contention but
@@ -206,16 +233,33 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         block_parts[i // bw].append((oi, i - (i // bw) * bw, j))
 
     # ---- pre-compile EVERY device program before big buffers exist -----
+    # every .lower().compile() goes through the AOT executable store
+    # (ops/aot.py): a no-op without LUMENOS_AOT_DIR; with it, a fresh
+    # process loads the serialized executables and skips XLA entirely
+    # (scripts/aot_coldstart.py measures the cold-to-first-proof win)
+    from lumenos_tpu.ops.aot import compile_or_load
+    from lumenos_tpu.fhe.staged import _params_tag
+    ptag = _params_tag(backend)
     t0 = time.perf_counter()
     sds = lambda *s, dt=np.int64: jax.ShapeDtypeStruct(s, dt)
     enc_chunk = staged.n1 * staged.chunk_a
+
+    def swap_backend_cache(name, cache_key, tag, *shapes):
+        from lumenos_tpu.ops.aot import aot_dir
+        cache = backend.__dict__.setdefault("_cache_" + name, {})
+        out = compile_or_load(
+            f"{tag}-{ptag}", getattr(backend, name)(*cache_key), *shapes)
+        if aot_dir() is not None:   # keep the shape-generic jit otherwise
+            cache[cache_key] = out
+
     for lvl, nn in ((start_level, enc_chunk), (prod_level, 1024)):
-        backend._encode_embed_jit(lvl).lower(
-            sds(nn, rows, dt=u64)).compile()
-        backend._encrypt_jit(lvl).lower(
-            sds(nn, n), sds(nn, n), sds(nn, n),
-            sds(nn, lvl + 1, n, dt=u64),
-            sds(lvl + 1, n, dt=u64), sds(lvl + 1, n, dt=u64)).compile()
+        swap_backend_cache("_encode_embed_jit", (lvl,), f"embed-l{lvl}-{nn}",
+                           sds(nn, rows, dt=u64))
+        swap_backend_cache("_encrypt_jit", (lvl,), f"encr-l{lvl}-{nn}",
+                           sds(nn, n), sds(nn, n), sds(nn, n),
+                           sds(nn, lvl + 1, n, dt=u64),
+                           sds(lvl + 1, n, dt=u64),
+                           sds(lvl + 1, n, dt=u64))
     staged.precompile_cells(
         n_blocks, n_queries,
         prod_cfg=(n1h, prod_level) if single_pass else None)
@@ -240,10 +284,11 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         n_pchunks *= 2
     assert cols % n_pchunks == 0, "power-of-two chunking needs 2^k cols"
     pchunk = cols // n_pchunks
-    fn_prod_c1 = fn_prod.lower(
+    fn_prod_c1 = compile_or_load(
+        f"prod-{ptag}-{pchunk}-{prod_level}", fn_prod,
         sds(pchunk, 2, prod_level + 1, n, dt=u64),
         sds(prod_level + 1, n, dt=u64),
-        sds(prod_level + 1, n, dt=u64)).compile()
+        sds(prod_level + 1, n, dt=u64))
     if n_pchunks > 1:
         fn_pslice = jax.jit(
             lambda d, c0: jax.lax.dynamic_slice_in_dim(d, c0, pchunk, 0)
@@ -329,7 +374,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
                     make_chunk, staged.n2 // staged.chunk_a,
                     n_blocks=n_blocks,
                     on_block=on_block if early_xfer else None,
-                    prod_cfg=(n1h, prod_level))
+                    prod_cfg=(n1h, prod_level), fence_group=fence_group)
             prod_ct = CtBatch(data=prod_data, level=prod_level)
             t_prodmat = 0.0
         else:
@@ -337,7 +382,8 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
                 staged.run_streaming_cells(
                     make_chunk, staged.n2 // staged.chunk_a,
                     n_blocks=n_blocks,
-                    on_block=on_block if early_xfer else None)
+                    on_block=on_block if early_xfer else None,
+                    fence_group=fence_group)
             # two-pass rescale of the re-read ciphertext stream, BEFORE
             # the tail transfer opens (its untimed chunk re-uploads must
             # not contend with the timed opened-column d2h)
@@ -345,6 +391,10 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             prod_ct, t_prodmat = derive_products_matrix(
                 backend, staged, make_chunk, cols, prod_level)
             sync(prod_ct.data)
+        try:
+            digests.copy_to_host_async()   # rides under products/merkle
+        except Exception:
+            pass
         print(f"[{rows}x{cols}] encode: {t_encode_run:.2f}s  "
               f"products-matrix rescale: "
               f"{'(fused)' if single_pass else f'{t_prodmat:.2f}s'}",
@@ -408,7 +458,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             "tree": tree, "leaf_np": leaf_np, "paths": paths,
         }
 
-    reps = max(1, int(os.environ.get("LUMENOS_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("LUMENOS_BENCH_REPS", "3")))
     best = None
     art = None
     rep_totals = []
@@ -556,6 +606,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     return {
         "logn": log_n,
         "total_s": round(total, 3),
+        "total_median_s": round(float(np.median(rep_totals)), 3),
         "device_s": round(t_device, 3),
         "encode_s": round(t_encode_run, 3),
         "prodmat_s": round(t_prodmat, 3),

@@ -528,7 +528,11 @@ class StagedEncode:
 
     def _run_bd_block(self, blk, b: int, bw: int, cw: int):
         """Stage B + digests for mid block b, in cw-row sub-chunks.
-        Returns (cells_b [bw, n2, 2, 2, N], digests np [bw*n2, 8])."""
+        Returns (cells_b [bw, n2, 2, 2, N], DEVICE digest arrays list) —
+        digests stay on device; the caller folds all blocks' digests
+        into ONE device concat + ONE host transfer (each per-sub-chunk
+        np.asarray was a ~120 ms small-transfer round-trip; the pacing
+        fence is a tiny sync instead)."""
         assert bw % cw == 0, (
             f"stage-B sub-chunk {cw} must divide block rows {bw}: a "
             f"non-divisor clamps the last dynamic slice while the "
@@ -536,7 +540,8 @@ class StagedEncode:
         if cw >= bw:
             cells_b, dig_b = self._stage_bd_fn(bw)(
                 blk, *self._row_args(b * bw, bw))
-            return cells_b, np.asarray(dig_b)
+            sync(cells_b)
+            return cells_b, [dig_b]
         sl, upd = self._bd_slice_upd(bw, cw)
         fbd = self._stage_bd_fn(cw)
         n = self.backend.n
@@ -545,10 +550,11 @@ class StagedEncode:
         for r0 in range(0, bw, cw):
             sub = sl(blk, r0)
             cell_s, dig_s = fbd(sub, *self._row_args(b * bw + r0, cw))
-            digs.append(np.asarray(dig_s))          # tiny d2h; real fence
+            digs.append(dig_s)
             cells_b = upd(cells_b, cell_s, r0)
+            sync(cells_b)                           # pacing fence (tiny)
             del sub, cell_s
-        return cells_b, np.concatenate(digs, axis=0)
+        return cells_b, digs
 
     def _scatter_fn(self, bw: int, n_blocks: int, Lm: int):
         """Per-block programs splitting a stage-A output across the mid
@@ -696,7 +702,8 @@ class StagedEncode:
     def run_streaming_cells(self, make_chunk, n_chunks: int,
                             n_blocks: int = 4, bd_cw: int | None = None,
                             on_block=None, prod_sink=None,
-                            prod_cfg: tuple | None = None):
+                            prod_cfg: tuple | None = None,
+                            fence_group: int = 1):
         """Returns (cells_blocks, digests_ref [size,8] u32 on host,
         final_scales, device_seconds[, prod_data]). Bit-identical content
         to run_streaming (tests/test_staged.py cross-checks).
@@ -723,7 +730,16 @@ class StagedEncode:
         matrix rows (one program per chunk, no extra dispatches); the
         assembled [n1h*n2, 2, prod_level+1, N] array is returned as a
         fifth element and its time is inside device_seconds. Mutually
-        exclusive with prod_sink."""
+        exclusive with prod_sink.
+
+        fence_group: stage-A chunks per timed fence. Each fence is one
+        tunnel round-trip (~78 ms measured); grouping amortizes it while
+        staying HONEST about server time — a group's chunks are ALL
+        produced (client encrypt, untimed) before its timed segment
+        dispatches their transforms and drains the device, so no server
+        work can hide under untimed client windows. Memory cost: up to
+        fence_group input chunks device-resident at once (the caller
+        sizes it against HBM headroom; default 1 = previous behavior)."""
         import time as _time
         backend = self.backend
         assert self.n1 % n_blocks == 0
@@ -751,26 +767,38 @@ class StagedEncode:
         import os
         import sys
         prof = os.environ.get("LUMENOS_STAGED_PROFILE")
+        group = max(1, int(os.environ.get("LUMENOS_STAGED_GROUP",
+                                          fence_group)))
         t_dev = 0.0
-        for k in range(n_chunks):
-            chunk = make_chunk(k)
-            sync(chunk)
+        k = 0
+        while k < n_chunks:
+            g = min(group, n_chunks - k)
+            chunks = []
+            for j in range(k, k + g):          # client encrypt (untimed)
+                c = make_chunk(j)
+                sync(c)
+                chunks.append(c)
             if prod_sink is not None:
-                # dispatched before fa donates the chunk buffer
-                prod_sink(k, chunk)
+                # dispatched before fa donates the chunk buffers
+                for j, c in zip(range(k, k + g), chunks):
+                    prod_sink(j, c)
             t0 = _time.perf_counter()
-            if prod_cfg is not None:
-                out, pp = fa(chunk)
-                prod_buf = upd_prod(prod_buf, pp, k * self.chunk_a)
-            else:
-                out = fa(chunk)
-            blocks = list(scat(out, k * self.chunk_a, *blocks))
+            for j, c in zip(range(k, k + g), chunks):
+                if prod_cfg is not None:
+                    out, pp = fa(c)
+                    prod_buf = upd_prod(prod_buf, pp, j * self.chunk_a)
+                else:
+                    out = fa(c)
+                blocks = list(scat(out, j * self.chunk_a, *blocks))
+                del out
+            del chunks, c
             sync(blocks[-1])
             t_dev += _time.perf_counter() - t0
-            del chunk, out
+            k += g
         if prof:
             print(f"[staged] cells stage A: {t_dev:.2f}s "
-                  f"({n_chunks} chunks x {self.chunk_a})", file=sys.stderr)
+                  f"({n_chunks} chunks x {self.chunk_a}, "
+                  f"fence group {group})", file=sys.stderr)
         t0 = _time.perf_counter()
         cells_blocks = []
         dig_parts = []
@@ -786,13 +814,20 @@ class StagedEncode:
                 f"(n1={self.n1} / n_blocks={n_blocks})")
         for b in range(n_blocks):
             cells_b, dig_b = self._run_bd_block(blocks[b], b, bw, cw)
-            dig_parts.append(dig_b)                  # [bw*n2, 8] tiny
+            dig_parts.extend(dig_b)                  # device arrays
             cells_blocks.append(cells_b)
             blocks[b] = None                         # free this mid block
             if on_block is not None:
                 on_block(b, cells_b)
-        dig_cells = np.concatenate(dig_parts, axis=0)
-        digests_ref = dig_cells[self.ref_to_cell_perm()]
+        # ONE device concat + reference-order permute, kept ON DEVICE:
+        # the d2h queue may hold the early queried-column transfers, so a
+        # synchronous fetch here would wait behind ~81 MB of them; the
+        # caller fetches (np.asarray / async copy) when it needs host
+        # bytes, typically hidden under the products phase
+        digests_ref = _CACHE.setdefault(
+            ("DIGP", self.size),
+            jax.jit(lambda parts, perm: jnp.concatenate(parts, axis=0)[perm])
+        )(dig_parts, jnp.asarray(self.ref_to_cell_perm()))
         if prof:
             print(f"[staged] cells stage B+digests: "
                   f"{_time.perf_counter() - t0:.2f}s", file=sys.stderr)
