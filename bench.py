@@ -163,13 +163,14 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     idxs = sample_query_indices(tr, n_queries, ext_cols)
 
     # ---- staged cells geometry (ALL configs share this path) -----------
-    # mid level: default 5; LUMENOS_BENCH_MID overrides (a smaller mid
-    # shrinks the mid buffer and stage-B limb count — at 16384x4096 it is
-    # what lets the fused single-pass products buffer fit beside it; the
-    # full proof verification below is the empirical noise-margin check)
+    # mid level: default 4 (LUMENOS_BENCH_MID overrides). Round-5: mid=4
+    # verified end-to-end at 16384x4096 (full public verification OK), and
+    # a smaller mid shrinks the mid buffer ~17% and stage B by one limb;
+    # the per-config full proof verification below is the standing
+    # empirical noise-margin check.
     mid_env = os.environ.get("LUMENOS_BENCH_MID")
     staged = StagedEncode(backend, field, ext_cols, start_level,
-                          mid_level=int(mid_env) if mid_env else 5)
+                          mid_level=int(mid_env) if mid_env else 4)
     # Stage-A chunk sizing: every chunk costs one timed fence (one tunnel
     # round-trip, measured ~78 ms) on top of its compute, so chunks should
     # be as LARGE as the HBM headroom next to the resident buffers allows
@@ -212,11 +213,14 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     # compute dispatches, so 81-162 MB in flight inflates every stage-B
     # and prodmat round-trip (measured: 8192 encode 11.8 s vs 3.6 s
     # clean). Large configs transfer in the tail window instead.
-    # stage-A chunks per timed fence: group while the in-flight chunk
-    # buffers fit the same headroom model
+    # stage-A chunks per timed fence: during stage A only the mid blocks
+    # (+ fused-prod buffer) are resident, and the transform program needs
+    # ~3x one chunk of liveness; every ADDITIONAL in-flight chunk of a
+    # fence group costs its own bytes
     chunk_bytes = staged.n1 * staged.chunk_a * 2 * (start_level + 1) * n * 8
-    headroom = hbm0 - mid_bytes0 - (prod_bytes0 if single_pass else 0) - 3e9
-    fence_group = max(1, min(4, int(headroom // (2.5 * chunk_bytes))))
+    headroom = (hbm0 - mid_bytes - (prod_bytes0 if single_pass else 0)
+                - 5 * chunk_bytes)   # program + encrypt temps ~5x a chunk
+    fence_group = max(1, min(4, 1 + int(headroom // (2 * chunk_bytes))))
     xfer_bytes = n_queries * 2 * 2 * n * 8
     ex_env = os.environ.get("LUMENOS_BENCH_EARLYXFER")
     # measured at 8192 (81 MB): stage B absorbs ~+1.5 s of contention but
@@ -263,8 +267,18 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     staged.precompile_cells(
         n_blocks, n_queries,
         prod_cfg=(n1h, prod_level) if single_pass else None)
+    # two-pass products derivation runs AFTER the mid buffer is freed, so
+    # its chunks can be much larger than stage A's (fewer ~78 ms fences)
+    # and group-fenced on top
     if not single_pass:
-        precompile_products_extract(backend, staged, cols, prod_level)
+        free2 = hbm0 - cells_bytes - prod_bytes - 2e9
+        unit2 = staged.n1 * 2 * (start_level + 1) * n * 8
+        ca2 = max(staged.chunk_a, min(staged.n2, int(free2 / 3 // unit2)))
+        while ca2 & (ca2 - 1):
+            ca2 &= ca2 - 1
+        pg2 = max(1, min(4, int(free2 // (2.5 * ca2 * unit2))))
+        precompile_products_extract(backend, staged, cols, prod_level,
+                                    chunk_a=ca2)
     # per-block queried-column gathers (exact static counts)
     for bp in block_parts:
         if bp:
@@ -333,6 +347,16 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         return ct.data.reshape(
             (staged.n1, staged.chunk_a) + ct.data.shape[1:])
 
+    def make_chunk2(jc):
+        # the wider-chunk replay for the two-pass products derivation;
+        # NOTE: a different chunk width changes the encrypt batch shape,
+        # not the per-column randomness order, so the stream replays
+        # bit-identically (rng state is reset before the pass)
+        j0 = jc * ca2
+        vals = np.ascontiguousarray(grid[:, j0:j0 + ca2].reshape(-1, rows))
+        ct = backend.encrypt_values(vals, pk, rng, level=start_level)
+        return ct.data.reshape((staged.n1, ca2) + ct.data.shape[1:])
+
     print(f"[{rows}x{cols}] matrix gen: "
           f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
@@ -389,7 +413,8 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             # not contend with the timed opened-column d2h)
             rng.bit_generator.state = enc_rng_state
             prod_ct, t_prodmat = derive_products_matrix(
-                backend, staged, make_chunk, cols, prod_level)
+                backend, staged, make_chunk2, cols, prod_level,
+                chunk_a=ca2, fence_group=pg2)
             sync(prod_ct.data)
         try:
             digests.copy_to_host_async()   # rides under products/merkle

@@ -218,23 +218,27 @@ def _products_extract_fns(backend: BgvBackend, n1h: int, chunk_a: int,
 
 
 def precompile_products_extract(backend: BgvBackend, staged, cols: int,
-                                prod_level: int = 2) -> None:
+                                prod_level: int = 2,
+                                chunk_a: int | None = None) -> None:
     """AOT-compile the derive_products_matrix programs before big device
     buffers exist (trace/compile under memory pressure OOMs on TPU)."""
+    ca = staged.chunk_a if chunk_a is None else chunk_a
     n1h = cols // staged.n2
-    ex, upd = _products_extract_fns(backend, n1h, staged.chunk_a,
+    ex, upd = _products_extract_fns(backend, n1h, ca,
                                     staged.level, prod_level)
     n = backend.n
     sds = jax.ShapeDtypeStruct
     u64 = jnp.uint64
-    ex.lower(sds((n1h, staged.chunk_a, 2, staged.level + 1, n), u64)).compile()
+    ex.lower(sds((n1h, ca, 2, staged.level + 1, n), u64)).compile()
     upd.lower(sds((n1h, staged.n2, 2, prod_level + 1, n), u64),
-              sds((n1h, staged.chunk_a, 2, prod_level + 1, n), u64),
+              sds((n1h, ca, 2, prod_level + 1, n), u64),
               0).compile()
 
 
 def derive_products_matrix(backend: BgvBackend, staged, make_chunk,
-                           cols: int, prod_level: int = 2):
+                           cols: int, prod_level: int = 2,
+                           chunk_a: int | None = None,
+                           fence_group: int = 1):
     """Products-level matrix batch from the CLIENT's encode-level
     ciphertexts: a second pass over the stage-A chunk stream, slicing the
     matrix positions (p = i*n2 + j < cols  <=>  i < cols/n2) and rescaling
@@ -249,25 +253,42 @@ def derive_products_matrix(backend: BgvBackend, staged, make_chunk,
     server-side, cmd/server/main.go:200-207, but a real PPD server only
     ever sees ciphertexts, cmd/server/main.go:66-179).
 
+    chunk_a: stage-A rows per chunk for THIS pass — it may be much larger
+    than staged.chunk_a because the mid buffer is freed by the time the
+    derivation runs (the caller's make_chunk must slice by the same
+    width). fence_group: chunks per timed fence, same contract as
+    run_streaming_cells (each group's chunks are produced untimed first,
+    then one timed dispatch+drain segment — ~78 ms per fence saved).
+
     Returns (CtBatch [cols] at prod_level, device_seconds) where
     device_seconds excludes chunk production (re-reading received bytes
     in production; the demo replays its encryption stream)."""
     import time as _time
-    n2, ca = staged.n2, staged.chunk_a
+    n2 = staged.n2
+    ca = staged.chunk_a if chunk_a is None else chunk_a
     assert cols % n2 == 0, "matrix must cover whole i-rows of the grid"
     n1h = cols // n2
     extract, upd = _products_extract_fns(backend, n1h, ca, staged.level,
                                          prod_level)
     buf = jnp.zeros((n1h, n2, 2, prod_level + 1, backend.n), jnp.uint64)
     t_dev = 0.0
-    for jc in range(n2 // ca):
-        chunk = make_chunk(jc)
-        sync(chunk)
+    n_chunks = n2 // ca
+    group = max(1, int(fence_group))
+    jc = 0
+    while jc < n_chunks:
+        g = min(group, n_chunks - jc)
+        chunks = []
+        for j in range(jc, jc + g):
+            c = make_chunk(j)
+            sync(c)
+            chunks.append(c)
         t0 = _time.perf_counter()
-        buf = upd(buf, extract(chunk[:n1h]), jc * ca)
+        for j, c in zip(range(jc, jc + g), chunks):
+            buf = upd(buf, extract(c[:n1h]), j * ca)
+        del chunks, c
         sync(buf)
         t_dev += _time.perf_counter() - t0
-        del chunk
+        jc += g
     # grid position p = i*n2 + j == matrix column index, so a row-major
     # reshape is already column order
     ct = CtBatch(data=buf.reshape(cols, 2, prod_level + 1, backend.n),
