@@ -21,6 +21,13 @@ Store keys include the jax version, backend platform and the abstract
 input signature; executables are machine-specific by design (the CPU
 loader warns on feature mismatch, the TPU loader rejects other chips) —
 treat the directory like the XLA compile cache, not like a wire format.
+
+MEASURED CAVEAT (AOT_COLDSTART.json, BENCH_NOTES): over a TUNNELED
+device the store loses — the remote compile service keeps executables
+server-side, while deserialize_and_load must ship the ~300 MB binary
+set client->device, ballooning first-proof wall time (82 s -> 568 s at
+2048x1024). Use only with direct-attached devices where executable
+load is a local operation; it is default-off (env unset) everywhere.
 """
 
 from __future__ import annotations
