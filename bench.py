@@ -7,9 +7,8 @@ than the reference's 32-vCPU m7i.8xlarge numbers, BASELINE.md). The
 headline metric is the largest completed config; per-config results are
 in "configs".
 
-Structure of one timed config run (round 4 — all four configs share the
-cells-layout staged path; the monolithic/flat branches that made
-2048x1024 compile its own one-off programs are gone):
+Structure of one timed config run (all four configs share the
+cells-layout staged path):
 
   1. host transcript: sample r, append point, sample query indices —
      BEFORE any device work. Sound: the Fiat-Shamir transcript never
@@ -29,8 +28,12 @@ cells-layout staged path; the monolithic/flat branches that made
 
 total_s = encode + prodmat + products + merkle + query. The queried-
 column d2h is COUNTED (it is mostly hidden under 2-3); on this tunnel it
-moves at 16-33 MB/s vs >10 GB/s on production PCIe, so the query/products
-residuals here are upper bounds.
+moves at ~49 MB/s vs >10 GB/s on production PCIe, so the query/products
+residuals here are upper bounds. Round 5: chunk sizes, fence groups and
+the per-block pacing fences derive from HBM residency (each timed fence
+is a ~78 ms tunnel round-trip — see staged.py); mid level defaults to 4
+(empirically re-validated by the full verification each run); three
+timed reps, best + median reported.
 
 Correctness per config (LUMENOS_BENCH_NOCHECK=1 skips):
   - spot-check: decrypted codeword positions vs the plaintext oracle and
@@ -177,7 +180,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     # (round-5 profiling: at 8192x4096 the 16 fences alone were ~1.2 s of
     # "encode"). Headroom model: mid buffer + fused-prod buffer stay
     # resident; a chunk needs ~3x its bytes of program liveness; keep a
-    # 4 GB general reserve. Bounds: [0.8 GB, 1.7 GB], whole-input if it
+    # 3 GB general reserve. Bounds: [0.8 GB, 1.7 GB], whole-input if it
     # fits the cap. LUMENOS_BENCH_CA overrides the chunk row count.
     hbm0 = _hbm_budget()
     mid_bytes0 = ext_cols * 2 * (staged.mid + 1) * n * 8
@@ -207,6 +210,10 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         if sp_env is None else sp_env == "1"
     if single_pass:
         staged.extra_resident_bytes = prod_bytes
+    # skip the per-stage-B-block pacing fences (~78 ms round-trips each)
+    # when everything fits HBM at once (small configs; staged.py docstring)
+    staged.light_fences = (
+        mid_bytes + cells_bytes + prod_bytes + 5e9 < hbm)
     # early per-block queried-column transfer: a win when the opened
     # columns are small (fully hidden under stage B at N=4096), a LOSS on
     # this tunnel when they are large — the relay serializes DMA with
