@@ -510,7 +510,8 @@ class StagedEncode:
         mid_total = self.size * 2 * (self.mid + 1) * self.backend.n * 8
         row = self.n2 * 2 * (self.mid + 1) * self.backend.n * 8
         cells_blk = self.n2 * bw * 2 * 2 * self.backend.n * 8
-        extra = getattr(self, "extra_resident_bytes", 0)
+        extra = (getattr(self, "extra_resident_bytes", 0)
+                 + getattr(self, "mxu_table_bytes", 0))
         avail = _hbm_budget() - mid_total - cells_blk - extra
         if avail >= 5.5 * row * bw:
             return bw
