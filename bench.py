@@ -237,11 +237,18 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     n1h = cols // staged.n2
 
     # per-block query partition: block b owns queried positions whose
-    # cell row i = p % n1 lies in [b*bw, (b+1)*bw)
+    # cell row i = p % n1 lies in [b*bw, (b+1)*bw). The spot-check
+    # positions ride along (a few extra columns) so the gathered parts
+    # are the ONLY consumer of the cells blocks — memory-tight configs
+    # can then evict each block right after its gather (staged.py
+    # evict_cells) and later stage-B blocks run wider sub-chunks.
+    check_pos = [0, 1, cols, ext_cols - 1]
+    gpos = list(idxs) + [p for p in check_pos if p not in set(idxs)]
     block_parts: list = [[] for _ in range(n_blocks)]   # (orig_i, row, j)
-    for oi, p in enumerate(idxs):
+    for oi, p in enumerate(gpos):
         i, j = p % staged.n1, p // staged.n1
         block_parts[i // bw].append((oi, i - (i // bw) * bw, j))
+    evict_cells = not staged.light_fences
 
     # ---- pre-compile EVERY device program before big buffers exist -----
     # every .lower().compile() goes through the AOT executable store
@@ -272,8 +279,10 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
                            sds(lvl + 1, n, dt=u64),
                            sds(lvl + 1, n, dt=u64))
     staged.precompile_cells(
-        n_blocks, n_queries,
-        prod_cfg=(n1h, prod_level) if single_pass else None)
+        n_blocks, None,   # bench gathers per block; the one-program
+                          # whole-set gather is not used here
+        prod_cfg=(n1h, prod_level) if single_pass else None,
+        evict_cells=evict_cells)
     # two-pass products derivation runs AFTER the mid buffer is freed, so
     # its chunks can be much larger than stage A's (fewer ~78 ms fences)
     # and group-fenced on top
@@ -403,10 +412,11 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             ri = jnp.asarray(np.array([x[1] for x in bp], np.int32))
             ji = jnp.asarray(np.array([x[2] for x in bp], np.int32))
             part = staged.block_gather_fn(bw, len(bp))(cells_b, ri, ji)
-            try:
-                part.copy_to_host_async()
-            except Exception:
-                pass                  # np.asarray below is sync anyway
+            if early_xfer:
+                try:
+                    part.copy_to_host_async()
+                except Exception:
+                    pass              # np.asarray below is sync anyway
             xfer_parts[bi] = part
 
         if single_pass:
@@ -415,18 +425,17 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             cells_blocks, digests, enc_scales, t_encode_run, prod_data = \
                 staged.run_streaming_cells(
                     make_chunk, staged.n2 // staged.chunk_a,
-                    n_blocks=n_blocks,
-                    on_block=on_block if early_xfer else None,
-                    prod_cfg=(n1h, prod_level), fence_group=fence_group)
+                    n_blocks=n_blocks, on_block=on_block,
+                    prod_cfg=(n1h, prod_level), fence_group=fence_group,
+                    evict_cells=evict_cells)
             prod_ct = CtBatch(data=prod_data, level=prod_level)
             t_prodmat = 0.0
         else:
             cells_blocks, digests, enc_scales, t_encode_run = \
                 staged.run_streaming_cells(
                     make_chunk, staged.n2 // staged.chunk_a,
-                    n_blocks=n_blocks,
-                    on_block=on_block if early_xfer else None,
-                    fence_group=fence_group)
+                    n_blocks=n_blocks, on_block=on_block,
+                    fence_group=fence_group, evict_cells=evict_cells)
             # two-pass rescale of the re-read ciphertext stream, BEFORE
             # the tail transfer opens (its untimed chunk re-uploads must
             # not contend with the timed opened-column d2h)
@@ -444,19 +453,19 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
               f"{'(fused)' if single_pass else f'{t_prodmat:.2f}s'}",
               file=sys.stderr)
 
-        # large configs: open the transfer window at the tail — gather
-        # the full queried set, start ONE async d2h, then run products +
-        # the Merkle fold under it (round-3 verdict item 1)
+        # large configs: open the transfer window at the tail — the
+        # per-block gathers already ran during stage B; start their
+        # async d2h now and run products + the Merkle fold under it
         t_gather = 0.0
-        leaf_dev = None
         if not early_xfer:
             tg = time.perf_counter()
-            leaf_dev = staged.gather_positions(cells_blocks, idxs)
-            sync(leaf_dev)
-            try:
-                leaf_dev.copy_to_host_async()
-            except Exception:
-                pass
+            for part in xfer_parts:
+                if part is None:
+                    continue
+                try:
+                    part.copy_to_host_async()
+                except Exception:
+                    pass
             t_gather = time.perf_counter() - tg
 
         tp = time.perf_counter()
@@ -475,16 +484,13 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         # query phase: gather dispatch + residual wait on the in-flight
         # transfer(s) + path openings
         tq = time.perf_counter()
-        if early_xfer:
-            leaf_np = np.empty((len(idxs), 2, 2, n), dtype=u64)
-            for bi in range(n_blocks):
-                if xfer_parts[bi] is None:
-                    continue
-                out = np.asarray(xfer_parts[bi])
-                for k, (oi, _, _) in enumerate(block_parts[bi]):
-                    leaf_np[oi] = out[k]
-        else:
-            leaf_np = np.asarray(leaf_dev)
+        leaf_np = np.empty((len(gpos), 2, 2, n), dtype=u64)
+        for bi in range(n_blocks):
+            if xfer_parts[bi] is None:
+                continue
+            out = np.asarray(xfer_parts[bi])
+            for k, (oi, _, _) in enumerate(block_parts[bi]):
+                leaf_np[oi] = out[k]
         paths = [tree.get_path(i) for i in idxs]
         t_query = time.perf_counter() - tq + t_gather
         print(f"[{rows}x{cols}] merkle: {t_merkle:.2f}s  query(gather "
@@ -500,6 +506,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
             "enc_scales": enc_scales, "prod_ct": prod_ct,
             "mr_chunks": mr_chunks, "mz_chunks": mz_chunks,
             "tree": tree, "leaf_np": leaf_np, "paths": paths,
+            "xfer_parts": xfer_parts,
         }
 
     reps = max(1, int(os.environ.get("LUMENOS_BENCH_REPS", "3")))
@@ -543,8 +550,18 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         from lumenos_tpu.fhe.ligero import ct_leaf_bytes, fhe_leaf_hasher
         from lumenos_tpu.fhe.hntt import ligero_ntt_scales
         scales = enc_scales
-        # full queried set on device (AOT gather), decrypt timed WARM
-        q_dev = staged.gather_positions(cells_blocks, idxs)
+        # full gathered set (queried + spot-check positions) assembled
+        # on device from the per-block gather parts — the cells blocks
+        # themselves may have been evicted (evict_cells); decrypt timed
+        # WARM. The <=4 extra spot-check columns in the batch are
+        # immaterial to the timing (306+ columns).
+        xfer_parts = art["xfer_parts"]
+        q_dev = jnp.zeros((len(gpos), 2, 2, n), jnp.uint64)
+        for bi in range(n_blocks):
+            if xfer_parts[bi] is None:
+                continue
+            oi = np.array([x[0] for x in block_parts[bi]], np.int32)
+            q_dev = q_dev.at[jnp.asarray(oi)].set(xfer_parts[bi])
         sync(q_dev)
         qct = CtBatch(data=q_dev, level=1)
         vals_dev = backend.decrypt_values(qct, sk, rows)
@@ -578,23 +595,16 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         mat_r = np.array([int(x) * n % t for x in c0_r], dtype=u64)
         mat_z = np.array([int(x) * n % t for x in c0_z], dtype=u64)
 
-        # spot-check vs the plaintext oracle (decrypt equality)
+        # spot-check vs the plaintext oracle (decrypt equality): every
+        # check position is in the gathered set by construction (gpos)
         spot_ok = True
-        check_pos = [0, 1, cols, ext_cols - 1]
-        pos_of = {p: i for i, p in enumerate(idxs)}
+        pos_all = {p: i for i, p in enumerate(gpos)}
         from lumenos_tpu.ops.modmath import ModCtx, mulmod
         pt_enc = np.asarray(_encode_fn(field, rho)(
             jnp.asarray(matrix[:4, :], jnp.uint64)))  # first 4 rows encoded
-        sub_pad = [p for p in check_pos if p not in pos_of]
-        if sub_pad:
-            padded = sub_pad + [0] * (n_queries - len(sub_pad))
-            sub = CtBatch(data=staged.gather_positions(cells_blocks, padded)
-                          [:len(sub_pad)], level=1)
-            dec_pad = np.asarray(backend.decrypt_values(sub, sk, rows))
         for ci, p in enumerate(check_pos):
             sig_inv = pow(int(scales[p]), t - 2, t)
-            row_vals = (vals[pos_of[p]] if p in pos_of
-                        else dec_pad[sub_pad.index(p)])
+            row_vals = vals[pos_all[p]]
             got = [int(row_vals[rr]) * sig_inv % t for rr in range(4)]
             exp = [int(pt_enc[rr, p]) for rr in range(4)]
             if got != exp:
@@ -612,7 +622,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
         sig_inv_arr = np.array(
             [pow(int(scales[p]), t - 2, t) for p in idxs], dtype=u64)
         unscale = jax.jit(lambda v, s: mulmod(v, s[:, None], ModCtx.new(t)))
-        vals_un = np.asarray(unscale(jnp.asarray(vals),
+        vals_un = np.asarray(unscale(jnp.asarray(vals[:len(idxs)]),
                                      jnp.asarray(sig_inv_arr)))
         queried = [QueriedColumn(values=vals_un[i],
                                  leaf_bytes=ct_leaf_bytes(leaf_np, i))

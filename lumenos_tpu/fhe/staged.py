@@ -520,6 +520,29 @@ class StagedEncode:
             cw &= cw - 1
         return cw
 
+    def _bd_cw_ladder(self, bw: int, n_blocks: int,
+                      evict: bool) -> list:
+        """Per-block stage-B sub-chunk widths: block b runs with
+        (n_blocks - b) mid blocks still resident and, unless the caller
+        evicts cells after its on_block callback, b finished cells
+        blocks accumulated — so later blocks afford wider sub-chunks
+        (fewer ~78 ms pacing fences). Same 5.5x program-liveness model
+        as _bd_cw."""
+        mid_blk = bw * self.n2 * 2 * (self.mid + 1) * self.backend.n * 8
+        cells_blk = self.n2 * bw * 2 * 2 * self.backend.n * 8
+        row = self.n2 * 2 * (self.mid + 1) * self.backend.n * 8
+        extra = (getattr(self, "extra_resident_bytes", 0)
+                 + getattr(self, "mxu_table_bytes", 0))
+        out = []
+        for b in range(n_blocks):
+            avail = (_hbm_budget() - (n_blocks - b) * mid_blk
+                     - (1 + (0 if evict else b)) * cells_blk - extra)
+            cw = max(1, min(bw, int(avail / (5.5 * row))))
+            while cw & (cw - 1):
+                cw &= cw - 1
+            out.append(cw)
+        return out
+
     def _bd_slice_upd(self, bw: int, cw: int):
         """(slice, update) programs for sub-chunked stage B over a block."""
         Lm = self.mid + 1
@@ -659,7 +682,8 @@ class StagedEncode:
         return fn(pos, *cells_blocks)
 
     def precompile_cells(self, n_blocks: int, n_queries: int | None = None,
-                         prod_cfg: tuple | None = None) -> None:
+                         prod_cfg: tuple | None = None,
+                         evict_cells: bool = False) -> None:
         """AOT-compile the cells-mode programs before big buffers exist."""
         import jax as _jax
         n = self.backend.n
@@ -691,10 +715,11 @@ class StagedEncode:
         blk = _jax.ShapeDtypeStruct((bw, self.n2, 2, Lm, n), u64)
         out_sd = _jax.ShapeDtypeStruct((self.n1, self.chunk_a, 2, Lm, n), u64)
         self._scatter_aot(bw, n_blocks, Lm, out_sd, blk)
-        cw = self._bd_cw(bw)
-        if cw >= bw:
-            self._stage_bd_fn(bw, sds=(blk,) + self._row_args_sds(bw))
-        else:
+        for cw in sorted(set(self._bd_cw_ladder(bw, n_blocks,
+                                                evict_cells))):
+            if cw >= bw:
+                self._stage_bd_fn(bw, sds=(blk,) + self._row_args_sds(bw))
+                continue
             sl, upd = self._bd_slice_upd(bw, cw)
             sub = _jax.ShapeDtypeStruct((cw, self.n2, 2, Lm, n), u64)
             sl.lower(blk, 0).compile()
@@ -712,7 +737,8 @@ class StagedEncode:
                             n_blocks: int = 4, bd_cw: int | None = None,
                             on_block=None, prod_sink=None,
                             prod_cfg: tuple | None = None,
-                            fence_group: int = 1):
+                            fence_group: int = 1,
+                            evict_cells: bool = False):
         """Returns (cells_blocks, digests_ref [size,8] u32 on host,
         final_scales, device_seconds[, prod_data]). Bit-identical content
         to run_streaming (tests/test_staged.py cross-checks).
@@ -740,6 +766,13 @@ class StagedEncode:
         assembled [n1h*n2, 2, prod_level+1, N] array is returned as a
         fifth element and its time is inside device_seconds. Mutually
         exclusive with prod_sink.
+
+        evict_cells: drop each cells block right after its on_block
+        callback returns — the caller asserts it has extracted what it
+        needs (e.g. gathered its queried columns). The freed HBM lets
+        LATER blocks run wider stage-B sub-chunks (_bd_cw_ladder), and
+        the returned cells_blocks list holds None. Memory-tight configs
+        only; requires on_block.
 
         fence_group: stage-A chunks per timed fence. Each fence is one
         tunnel round-trip (~78 ms measured); grouping amortizes it while
@@ -811,23 +844,37 @@ class StagedEncode:
         t0 = _time.perf_counter()
         cells_blocks = []
         dig_parts = []
-        cw = self._bd_cw(bw) if bd_cw is None else bd_cw
+        assert not (evict_cells and on_block is None), \
+            "evict_cells without on_block would discard the only output"
+        if bd_cw is not None:
+            cws = [bd_cw] * n_blocks
+        else:
+            cws = self._bd_cw_ladder(bw, n_blocks, evict_cells)
         if prof:
-            print(f"[staged] stage B: cw={cw} bw={bw} n_blocks={n_blocks} "
+            print(f"[staged] stage B: cws={cws} bw={bw} "
+                  f"n_blocks={n_blocks} evict={evict_cells} "
                   f"hbm_budget={_hbm_budget():.2e} "
                   f"extra={getattr(self, 'extra_resident_bytes', 0):.2e}",
                   file=sys.stderr)
-        if cw < bw and bw % cw != 0:
-            raise ValueError(
-                f"bd_cw={cw} must divide the block row count {bw} "
-                f"(n1={self.n1} / n_blocks={n_blocks})")
+        for cw in set(cws):
+            if cw < bw and bw % cw != 0:
+                raise ValueError(
+                    f"bd_cw={cw} must divide the block row count {bw} "
+                    f"(n1={self.n1} / n_blocks={n_blocks})")
         for b in range(n_blocks):
-            cells_b, dig_b = self._run_bd_block(blocks[b], b, bw, cw)
+            cells_b, dig_b = self._run_bd_block(blocks[b], b, bw, cws[b])
             dig_parts.extend(dig_b)                  # device arrays
-            cells_blocks.append(cells_b)
             blocks[b] = None                         # free this mid block
             if on_block is not None:
                 on_block(b, cells_b)
+            if evict_cells:
+                # the on_block gather's reads are queued before anything
+                # that could overwrite; dropping the reference lets the
+                # allocator reuse the block once that gather has run
+                cells_blocks.append(None)
+                del cells_b
+            else:
+                cells_blocks.append(cells_b)
         # ONE device concat + reference-order permute, kept ON DEVICE:
         # the d2h queue may hold the early queried-column transfers, so a
         # synchronous fetch here would wait behind ~81 MB of them; the

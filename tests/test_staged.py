@@ -247,3 +247,54 @@ def test_fused_prod_cfg_matches_two_pass(setup):
     assert np.array_equal(dig_f, dig_p)
     for a, b in zip(cells_f, cells_p):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_streaming_cells_evict_matches(setup):
+    """evict_cells mode: on_block gathers are the only consumer; the
+    digests, prod matrix and gathered columns must be bit-identical to
+    the keep-cells run (and the returned blocks are None)."""
+    backend, sk, field, ct = setup
+
+    def run(evict):
+        st = StagedEncode(backend, field, SIZE, start_level=5, mid_level=3,
+                          chunk_a=2, chunk_b=2, use_mxu=False)
+        grid = ct.data.reshape((st.n1, st.n2) + ct.data.shape[1:])
+
+        def make_chunk(jc):
+            j0 = jc * st.chunk_a
+            return jnp.asarray(np.ascontiguousarray(
+                np.asarray(grid[:, j0:j0 + st.chunk_a])))
+
+        bw = st.n1 // 2
+        pos = [0, 3, SIZE - 1]
+        parts = {}
+
+        def on_block(b, cells_b):
+            sel = [(oi, p % st.n1 - b * bw, p // st.n1)
+                   for oi, p in enumerate(pos)
+                   if b * bw <= p % st.n1 < (b + 1) * bw]
+            if sel:
+                ri = jnp.asarray(np.array([x[1] for x in sel], np.int32))
+                ji = jnp.asarray(np.array([x[2] for x in sel], np.int32))
+                parts[b] = (sel, st.block_gather_fn(bw, len(sel))(
+                    cells_b, ri, ji))
+
+        cb, dig, _, _, prod = st.run_streaming_cells(
+            make_chunk, st.n2 // st.chunk_a, n_blocks=2,
+            on_block=on_block, prod_cfg=(st.n1 // 2, 2),
+            evict_cells=evict)
+        got = {}
+        for b, (sel, part) in parts.items():
+            arr = np.asarray(part)
+            for k, (oi, _, _) in enumerate(sel):
+                got[oi] = arr[k]
+        return cb, np.asarray(dig), np.asarray(prod), got
+
+    cb_k, dig_k, prod_k, got_k = run(False)
+    cb_e, dig_e, prod_e, got_e = run(True)
+    assert all(c is None for c in cb_e)
+    assert any(c is not None for c in cb_k)
+    assert np.array_equal(dig_k, dig_e)
+    assert np.array_equal(prod_k, prod_e)
+    for oi in got_k:
+        assert np.array_equal(got_k[oi], got_e[oi])
