@@ -15,15 +15,22 @@ TOP level into orchestrated chunked device calls with bounded liveness:
   finalize: cells -> reference flat order j*n1 + i, fused striped leaf
       digests on device.
 
-Both stages execute RECORDED butterfly schedules (fhe/hsched.py): the
-pairing/gather structure is compiled once, and the per-row equalization
-cofactors enter stage B as array INPUTS - so there is exactly ONE stage-B
-program regardless of row count (round 1 compiled one program per row
-chunk, ~20 min of tracing at the 8192 config).
+Both stages execute RECORDED butterfly schedules (fhe/hsched.py) by
+default: the pairing/gather structure is compiled once, and the per-row
+equalization cofactors enter stage B as array INPUTS - one stage-B
+program per SUB-CHUNK SHAPE, where the sub-chunk widths form a per-block
+ladder sized to the HBM freed as mid blocks are consumed
+(_bd_cw_ladder). An MXU matmul formulation of both stages exists behind
+LUMENOS_MXU_NTT (ops/mxu_ntt.py; bit-exact, benched not-faster -
+DESIGN.md section 11).
 
-Everything stays chunked (lists of arrays); the only full-size arrays are
-the mid-level buffer (~5 GB) and the level-1 output (~2 GB). Peak ~12 GB
-at the 8192x4096 config.
+Everything stays chunked (lists of arrays); the only full-size arrays
+are the mid-level buffer and the level-1 output/cells. Fence policy
+(every dispatch+drain fence is a ~78 ms round-trip on the tunneled
+chip): stage-A chunks can be group-fenced, stage-B pacing fences drop
+entirely when everything fits HBM (light_fences), and callers may evict
+each cells block after extracting its columns (evict_cells) - see
+DESIGN.md section 12 for the measured effect of each.
 
 The caller encrypts the input in J-CHUNK order: chunk jc holds cells
 (i, j) for j in [jc*cw, (jc+1)*cw), i-major (see bench.py).
