@@ -397,7 +397,7 @@ def run_config(rows: int, cols: int, log_n: int, check: bool) -> dict:
     # stream, so the timed section can run several times (artifacts are
     # bit-identical); the tunnel's throughput swings 2-4x minute to
     # minute, so the per-config result is the BEST of LUMENOS_BENCH_REPS
-    # runs (default 2) with every rep's total reported alongside.
+    # runs (default 3; median reported alongside every rep's total).
     TIMING_KEYS = ("t_encode_run", "t_prodmat", "t_prod", "t_merkle",
                    "t_query", "total")
 
